@@ -1,0 +1,193 @@
+"""ICP scan matching: point-to-point / point-to-line / point-to-plane.
+
+TPU-native rebuild of the reference `IcpRegistration`
+(/root/reference/LocUtils/src/model/matching/3d/icp/icp_registration.cpp).
+The per-point inner loop (transform -> kNN -> local fit -> Jacobian ->
+6x6 accumulate, icp_registration.cpp:161-213) becomes one batched program:
+all N source points are transformed, matched against the voxel hash grid,
+line/plane-fit, and their Jacobians assembled in parallel; the H/b reduction
+is a single (6,3N)x(3N,6) matmul that XLA places on the MXU. The outer
+Gauss-Newton loop is a `lax.while_loop` with the reference's stopping rule
+(|dx| < eps, icp_registration.cpp:371-375) and degeneracy guards
+(effective_num >= min_effective_pts, icp_registration.cpp:94-101).
+
+Deliberate deviation from the reference (documented, not a bug): the
+reference's P2P mode scales the rotation Jacobian block and the solved step
+by 1/16 (icp_registration.cpp:84,287) — an ad-hoc damping artifact. We use
+the exact Jacobian; golden tests compare against an undamped oracle and both
+converge to the same fixed point.
+
+Jacobian conventions (right perturbation, residuals as in the reference):
+  P2P    e = p - T q          J = [ R*hat(q)        , -I       ]  (3x6)
+  P2Line e = hat(d)(Tq - p0)  J = [-hat(d)*R*hat(q) , hat(d)   ]  (3x6)
+  P2Plane e = n.(Tq) + d      J = [-n^T*R*hat(q)    , n^T      ]  (1x6)
+(icp_registration.cpp:83-85, 138-140, 193-195.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pointcloud import PointCloud
+from ..ops import voxel
+from ..utils import lie, mathx
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpOptions:
+    """Mirror of IcpOptions (icp_registration.hpp:22-39)."""
+
+    method: str = "p2plane"          # p2p | p2line | p2plane
+    max_iteration: int = 20
+    max_nn_distance: float = 1.0     # SQUARED-distance gate for P2P (cpp:75)
+    max_plane_distance: float = 0.1
+    max_line_distance: float = 0.5
+    min_effective_pts: int = 10
+    eps: float = 1e-2
+    # TPU search structure (replaces the kd-tree): cell size of the hash grid
+    # and how many candidate points to keep per cell.
+    grid_leaf: float = 1.0
+    bucket_size: int = 8
+
+
+class IcpTarget(NamedTuple):
+    grid: voxel.HashGrid
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def set_target(pc: PointCloud, opts: IcpOptions, origin=None) -> IcpTarget:
+    """Build the search structure over the target cloud
+    (SetInputTarget, icp_registration.cpp:9-29)."""
+    return IcpTarget(grid=voxel.build_hash_grid(pc, opts.grid_leaf, opts.bucket_size, origin))
+
+
+class MatchResult(NamedTuple):
+    R: jax.Array
+    t: jax.Array
+    converged: jax.Array      # bool: |dx| < eps reached
+    num_effective: jax.Array  # effective points at the last iteration
+    iterations: jax.Array
+    chi2: jax.Array           # sum of squared residuals at last iteration
+
+
+# ---------------------------------------------------------------------------
+# Per-mode H/b assembly (each is one batched pass over all source points)
+# ---------------------------------------------------------------------------
+
+def _assemble(J: jax.Array, e: jax.Array, w: jax.Array):
+    """Masked H = sum J^T J, b = -sum J^T e as MXU matmuls.
+
+    J: (N, r, 6), e: (N, r), w: (N,) validity weights.
+    """
+    n, r, _ = J.shape
+    Jw = (J * w[:, None, None]).reshape(n * r, 6)
+    ew = (e * w[:, None]).reshape(n * r)
+    H = Jw.T @ Jw
+    b = -(Jw.T @ ew)
+    return H, b
+
+
+def _p2p_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
+    q = src.xyz
+    qs = q @ R.T + t
+    p, idx, d2, valid = voxel.nn1(target.grid, qs, src.mask)
+    # squared-distance gate, matching cpp:74-78
+    eff = valid & (d2 <= opts.max_nn_distance)
+    e = p - qs                                             # (N, 3)
+    Rhatq = jnp.einsum("ij,njk->nik", R, lie.hat(q))       # (N, 3, 3)
+    J = jnp.concatenate(
+        [Rhatq, jnp.broadcast_to(-jnp.eye(3, dtype=q.dtype), Rhatq.shape)], axis=-1
+    )                                                      # (N, 3, 6)
+    w = eff.astype(q.dtype)
+    H, b = _assemble(J, e, w)
+    chi2 = jnp.sum(jnp.sum(e * e, axis=-1) * w)
+    return H, b, jnp.sum(eff), chi2
+
+
+def _p2line_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
+    q = src.xyz
+    qs = q @ R.T + t
+    nn_pts, idx, d2, valid = voxel.knn(target.grid, qs, src.mask, 5)
+    got5 = jnp.sum(valid.astype(jnp.int32), axis=1) == 5   # cpp:115 requires 5
+    p0, d, fit_ok = mathx.fit_line(nn_pts, valid, eps=opts.max_line_distance)
+    hat_d = lie.hat(d)                                     # (N, 3, 3)
+    e = jnp.einsum("nij,nj->ni", hat_d, qs - p0)
+    # effective = got5 & fit ok (cpp:123-128); the norm gate only skips
+    # accumulation (cpp:132-135)
+    eff = got5 & fit_ok
+    accum = eff & (jnp.linalg.norm(e, axis=-1) <= opts.max_line_distance)
+    Rhatq = jnp.einsum("ij,njk->nik", R, lie.hat(q))
+    Jrot = -jnp.einsum("nij,njk->nik", hat_d, Rhatq)
+    J = jnp.concatenate([Jrot, hat_d], axis=-1)            # (N, 3, 6)
+    w = accum.astype(q.dtype)
+    H, b = _assemble(J, e, w)
+    chi2 = jnp.sum(jnp.sum(e * e, axis=-1) * w)
+    return H, b, jnp.sum(eff), chi2
+
+
+def _p2plane_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
+    q = src.xyz
+    qs = q @ R.T + t
+    nn_pts, idx, d2, valid = voxel.knn(target.grid, qs, src.mask, 5)
+    got = jnp.sum(valid.astype(jnp.int32), axis=1) > 3     # cpp:171 ("> 3")
+    coeffs, fit_ok = mathx.fit_plane(nn_pts, valid)        # (N, 4)
+    nvec = coeffs[:, :3]
+    dis = jnp.sum(nvec * qs, axis=-1) + coeffs[:, 3]       # (N,)
+    eff = got & fit_ok
+    accum = eff & (jnp.abs(dis) <= opts.max_plane_distance)  # cpp:187-190
+    Rhatq = jnp.einsum("ij,njk->nik", R, lie.hat(q))
+    Jrot = -jnp.einsum("ni,nik->nk", nvec, Rhatq)          # (N, 6->3)
+    J = jnp.concatenate([Jrot, nvec], axis=-1)[:, None, :]  # (N, 1, 6)
+    w = accum.astype(q.dtype)
+    H, b = _assemble(J, dis[:, None], w)
+    chi2 = jnp.sum(dis * dis * w)
+    return H, b, jnp.sum(eff), chi2
+
+
+_TERM_FNS = {"p2p": _p2p_terms, "p2line": _p2line_terms, "p2plane": _p2plane_terms}
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def compute_h_and_b(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
+    """One linearization: (H, b, num_effective, chi2) at the given pose.
+    Mirror of CaculateMatrixHAndB (icp_registration.cpp:31-55); exposed so
+    LOAM can fuse edge+surf systems (loam_registration.cpp:38-99)."""
+    return _TERM_FNS[opts.method](target, opts, src, R, t)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def scan_match(target: IcpTarget, opts: IcpOptions, src: PointCloud, R0, t0) -> MatchResult:
+    """Full GN alignment (ScanMatch -> AlignP2P/P2Line/P2Plane,
+    icp_registration.cpp:216-381)."""
+    terms = _TERM_FNS[opts.method]
+
+    def cond(state):
+        it, R, t, done, _, _ = state
+        return (it < opts.max_iteration) & (~done)
+
+    def body(state):
+        it, R, t, _, _, _ = state
+        H, b, n_eff, chi2 = terms(target, opts, src, R, t)
+        ok = n_eff >= opts.min_effective_pts
+        dx = jnp.where(ok, mathx.solve_gn_6x6(H, b), jnp.zeros(6, dtype=b.dtype))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        R_new, t_new = lie.se3_retract(R, t, dx)
+        converged = ok & (jnp.linalg.norm(dx) < opts.eps)
+        return (it + 1, R_new, t_new, converged, n_eff, chi2)
+
+    init = (
+        jnp.int32(0),
+        jnp.asarray(R0, jnp.float32),
+        jnp.asarray(t0, jnp.float32),
+        jnp.bool_(False),
+        jnp.int32(0),
+        jnp.float32(0.0),
+    )
+    it, R, t, converged, n_eff, chi2 = jax.lax.while_loop(cond, body, init)
+    return MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
+                       iterations=it, chi2=chi2)

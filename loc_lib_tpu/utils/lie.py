@@ -1,0 +1,272 @@
+"""Batched SO(3)/SE(3) Lie-group operations for TPU.
+
+TPU-native replacement for the reference's Sophus usage
+(/root/reference/LocUtils/include/LocUtils/common/eigen_types.h:12-107 and
+math_utils.h SO3 exp/log helpers). Everything here is a pure jax function over
+float arrays, closed-form (no iterative routines), broadcastable over leading
+batch dimensions, and safe at the theta -> 0 singularity via Taylor fallbacks
+so it can be differentiated and `vmap`ed/`scan`ed freely.
+
+Conventions (matching the reference):
+  * rotations are 3x3 matrices (row-major), acting on column vectors.
+  * `so3_exp` is the Rodrigues formula; `se3` poses are (R, t) pairs where
+    `apply(R, t, x) = R @ x + t`.
+  * retraction used by all GN solvers is the *right* perturbation on SO3 with
+    a plain additive translation update, exactly the reference solver update
+    `pose.so3() * SO3::exp(dx[0:3]); pose.translation() += dx[3:6]`
+    (icp_registration.cpp:288-289, ndt_registration.cpp:355-356).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def hat(w: jax.Array) -> jax.Array:
+    """Skew-symmetric matrix of w: (..., 3) -> (..., 3, 3)."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([z, -wz, wy], axis=-1),
+            jnp.stack([wz, z, -wx], axis=-1),
+            jnp.stack([-wy, wx, z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def vee(W: jax.Array) -> jax.Array:
+    """Inverse of hat: (..., 3, 3) -> (..., 3)."""
+    return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
+
+
+def so3_exp(w: jax.Array) -> jax.Array:
+    """Rodrigues formula, (..., 3) -> (..., 3, 3); Taylor-safe near 0."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    # sin(t)/t and (1-cos(t))/t^2 with series fallback for tiny t
+    small = theta2 < 1e-8
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    W = hat(w)
+    W2 = W @ W
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + a[..., None, None] * W + b[..., None, None] * W2
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """Log map (..., 3, 3) -> (..., 3); Taylor-safe near identity and pi."""
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    # Antisymmetric part gives axis*sin(theta)
+    w_sin = 0.5 * vee(R - jnp.swapaxes(R, -1, -2))
+    sin_t = jnp.sin(theta)
+    # Near theta=0: log(R) ~ vee(R - R^T)/2 * (1 + theta^2/6)
+    small = theta < 1e-4
+    scale_small = 1.0 + theta * theta / 6.0
+    scale_gen = theta / jnp.where(jnp.abs(sin_t) < _EPS, 1.0, sin_t)
+    scale = jnp.where(small, scale_small, scale_gen)
+    w_gen = w_sin * scale[..., None]
+
+    # Near theta=pi the antisymmetric part vanishes; recover axis from the
+    # symmetric part: R ~ I + 2*ww^T - ... => diag gives |axis| components.
+    near_pi = theta > 3.0
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    axis_sq = jnp.maximum((diag - cos_t[..., None]) / (1.0 - cos_t[..., None] + _EPS), 0.0)
+    axis_abs = jnp.sqrt(axis_sq)
+    # Fix signs using the off-diagonal symmetric entries and w_sin hints
+    sign_hint = jnp.where(jnp.abs(w_sin) > 1e-6, jnp.sign(w_sin), 1.0)
+    # Use products R[i,j]+R[j,i] = 2*(1-cos)*ai*aj to repair relative signs
+    sxy = R[..., 0, 1] + R[..., 1, 0]
+    sxz = R[..., 0, 2] + R[..., 2, 0]
+    ax = axis_abs[..., 0] * sign_hint[..., 0]
+    ay = jnp.where(jnp.abs(sxy) > 1e-6, jnp.sign(sxy) * jnp.sign(ax), sign_hint[..., 1]) * axis_abs[..., 1]
+    az = jnp.where(jnp.abs(sxz) > 1e-6, jnp.sign(sxz) * jnp.sign(ax), sign_hint[..., 2]) * axis_abs[..., 2]
+    w_pi = jnp.stack([ax, ay, az], axis=-1) * theta[..., None]
+
+    return jnp.where(near_pi[..., None], w_pi, w_gen)
+
+
+# ---------------------------------------------------------------------------
+# SE(3) as (R, t)
+# ---------------------------------------------------------------------------
+
+def se3_identity(dtype=jnp.float32):
+    return jnp.eye(3, dtype=dtype), jnp.zeros((3,), dtype=dtype)
+
+
+def se3_apply(R: jax.Array, t: jax.Array, pts: jax.Array) -> jax.Array:
+    """Transform points: (..., 3, 3), (..., 3), (N, 3) -> (N, 3)."""
+    return pts @ jnp.swapaxes(R, -1, -2) + t
+
+
+def se3_compose(Ra, ta, Rb, tb):
+    """(Ra, ta) * (Rb, tb): first apply b, then a."""
+    return Ra @ Rb, ta + jnp.einsum("...ij,...j->...i", Ra, tb)
+
+
+def se3_inverse(R, t):
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)
+
+
+def se3_exp(xi: jax.Array):
+    """Exp map of (..., 6) twist [w, v] (rotation-first, matching the solver
+    state layout dx=[dtheta, dt]) -> (R, t). Uses the full SE(3) V matrix."""
+    w, v = xi[..., :3], xi[..., 3:]
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    small = theta2 < 1e-8
+    W = hat(w)
+    W2 = W @ W
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
+    R = eye + a[..., None, None] * W + b[..., None, None] * W2
+    V = eye + b[..., None, None] * W + c[..., None, None] * W2
+    return R, jnp.einsum("...ij,...j->...i", V, v)
+
+
+def se3_log(R: jax.Array, t: jax.Array) -> jax.Array:
+    """Log map -> (..., 6) twist [w, v]."""
+    w = so3_log(R)
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    small = theta2 < 1e-8
+    W = hat(w)
+    W2 = W @ W
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), W.shape)
+    # V^{-1} = I - W/2 + (1/theta^2 - (1+cos)/(2 theta sin)) W^2
+    half_theta = 0.5 * theta
+    cot = jnp.cos(half_theta) / jnp.where(jnp.abs(jnp.sin(half_theta)) < _EPS, 1.0, jnp.sin(half_theta))
+    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - half_theta * cot) / theta2)
+    Vinv = eye - 0.5 * W + coef[..., None, None] * W2
+    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    return jnp.concatenate([w, v], axis=-1)
+
+
+def se3_retract(R, t, dx):
+    """The reference GN update: right-multiply SO3 by exp(dx[:3]), add dx[3:]
+    to translation (icp_registration.cpp:288-289)."""
+    return R @ so3_exp(dx[..., :3]), t + dx[..., 3:]
+
+
+def se3_matrix(R, t):
+    """(R, t) -> 4x4 homogeneous matrix."""
+    batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])
+    M = jnp.zeros(batch + (4, 4), dtype=R.dtype)
+    M = M.at[..., :3, :3].set(R)
+    M = M.at[..., :3, 3].set(t)
+    M = M.at[..., 3, 3].set(1.0)
+    return M
+
+
+def se3_from_matrix(M):
+    return M[..., :3, :3], M[..., :3, 3]
+
+
+# ---------------------------------------------------------------------------
+# Quaternions / Euler (for I/O: TUM trajectories, extrinsic configs)
+# ---------------------------------------------------------------------------
+
+def quat_from_rotm(R: jax.Array) -> jax.Array:
+    """Rotation matrix -> unit quaternion (w, x, y, z), Shepperd's method."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    # Four candidate constructions; pick the numerically best.
+    qw0 = jnp.sqrt(jnp.maximum(1.0 + tr, _EPS)) * 0.5
+    q0 = jnp.stack([qw0, (m21 - m12) / (4 * qw0), (m02 - m20) / (4 * qw0), (m10 - m01) / (4 * qw0)], axis=-1)
+    qx1 = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, _EPS)) * 0.5
+    q1 = jnp.stack([(m21 - m12) / (4 * qx1), qx1, (m01 + m10) / (4 * qx1), (m02 + m20) / (4 * qx1)], axis=-1)
+    qy2 = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, _EPS)) * 0.5
+    q2 = jnp.stack([(m02 - m20) / (4 * qy2), (m01 + m10) / (4 * qy2), qy2, (m12 + m21) / (4 * qy2)], axis=-1)
+    qz3 = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, _EPS)) * 0.5
+    q3 = jnp.stack([(m10 - m01) / (4 * qz3), (m02 + m20) / (4 * qz3), (m12 + m21) / (4 * qz3), qz3], axis=-1)
+    cand = jnp.stack([q0, q1, q2, q3], axis=-2)  # (..., 4, 4)
+    scores = jnp.stack([tr, m00 - m11 - m22, m11 - m00 - m22, m22 - m00 - m11], axis=-1)
+    idx = jnp.argmax(scores, axis=-1)
+    q = jnp.take_along_axis(cand, idx[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def rotm_from_quat(q: jax.Array) -> jax.Array:
+    """Unit quaternion (w, x, y, z) -> rotation matrix."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], axis=-1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def quat_slerp(q0: jax.Array, q1: jax.Array, alpha) -> jax.Array:
+    """Normalized spherical lerp used by the measurement synchronizer
+    (measure_sync.cpp quaternion interpolation)."""
+    dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(dot < 0, -q1, q1)
+    q = q0 + (q1 - q0) * alpha
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def rotm_from_rpy(roll, pitch, yaw):
+    """ZYX Euler (applied Rz @ Ry @ Rx) -> rotation matrix, matching
+    math::RpyToRotM2 used for the T_imu_lidar extrinsic (lio.cpp:63-66)."""
+    roll, pitch, yaw = (jnp.asarray(v, dtype=jnp.float32) for v in (roll, pitch, yaw))
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    Rz = jnp.stack([
+        jnp.stack([cy, -sy, jnp.zeros_like(cy)], -1),
+        jnp.stack([sy, cy, jnp.zeros_like(cy)], -1),
+        jnp.stack([jnp.zeros_like(cy), jnp.zeros_like(cy), jnp.ones_like(cy)], -1)], -2)
+    Ry = jnp.stack([
+        jnp.stack([cp, jnp.zeros_like(cp), sp], -1),
+        jnp.stack([jnp.zeros_like(cp), jnp.ones_like(cp), jnp.zeros_like(cp)], -1),
+        jnp.stack([-sp, jnp.zeros_like(cp), cp], -1)], -2)
+    Rx = jnp.stack([
+        jnp.stack([jnp.ones_like(cr), jnp.zeros_like(cr), jnp.zeros_like(cr)], -1),
+        jnp.stack([jnp.zeros_like(cr), cr, -sr], -1),
+        jnp.stack([jnp.zeros_like(cr), sr, cr], -1)], -2)
+    return Rz @ Ry @ Rx
+
+
+# ---------------------------------------------------------------------------
+# SE(2) (for the 2D mapping stack)
+# ---------------------------------------------------------------------------
+
+def se2_apply(theta, t, pts):
+    """(...,), (..., 2), (N, 2) -> rotated+translated points."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    x = c[..., None] * pts[..., 0] - s[..., None] * pts[..., 1]
+    y = s[..., None] * pts[..., 0] + c[..., None] * pts[..., 1]
+    return jnp.stack([x, y], axis=-1) + t[..., None, :]
+
+
+def se2_compose(th_a, t_a, th_b, t_b):
+    c, s = jnp.cos(th_a), jnp.sin(th_a)
+    tx = t_a[..., 0] + c * t_b[..., 0] - s * t_b[..., 1]
+    ty = t_a[..., 1] + s * t_b[..., 0] + c * t_b[..., 1]
+    return th_a + th_b, jnp.stack([tx, ty], axis=-1)
+
+
+def se2_inverse(theta, t):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    tx = -(c * t[..., 0] + s * t[..., 1])
+    ty = -(-s * t[..., 0] + c * t[..., 1])
+    return -theta, jnp.stack([tx, ty], axis=-1)
+
+
+def wrap_angle(a):
+    """Wrap angle(s) to (-pi, pi], the reference's KeepAngleInPI."""
+    return jnp.arctan2(jnp.sin(a), jnp.cos(a))

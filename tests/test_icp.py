@@ -1,0 +1,134 @@
+import numpy as np
+import jax.numpy as jnp
+
+from loc_lib_tpu.ops import pointcloud as pcm
+from loc_lib_tpu.models import icp
+from loc_lib_tpu.utils import lie
+import oracles
+
+
+def _structured_scene(rng, n=600):
+    """Non-degenerate scene: three mutually orthogonal planes + a ridge."""
+    a = np.stack([rng.uniform(-10, 10, n), rng.uniform(-10, 10, n), np.zeros(n)], 1)
+    b = np.stack([rng.uniform(-10, 10, n), np.full(n, -10.0), rng.uniform(0, 5, n)], 1)
+    c = np.stack([np.full(n, -10.0), rng.uniform(-10, 10, n), rng.uniform(0, 5, n)], 1)
+    return np.concatenate([a, b, c]).astype(np.float32)
+
+
+def _make_pair(rng, w, trans):
+    scene = _structured_scene(rng)
+    R_true = oracles.so3_exp(np.asarray(w))
+    t_true = np.asarray(trans, dtype=np.float64)
+    src = ((scene - t_true) @ R_true).astype(np.float32)  # R^T(p - t): T*src = scene
+    return scene, src, R_true, t_true
+
+
+def _pose_err(res, R_true, t_true):
+    R_est = np.array(res.R, dtype=np.float64)
+    rot_err = np.linalg.norm(oracles.so3_log(R_est.T @ R_true))
+    t_err = np.linalg.norm(np.array(res.t, dtype=np.float64) - t_true)
+    return rot_err, t_err
+
+
+def test_p2plane_recovers_pose():
+    rng = np.random.default_rng(0)
+    scene, src, R_true, t_true = _make_pair(rng, [0.02, -0.03, 0.04], [0.3, -0.2, 0.15])
+    opts = icp.IcpOptions(method="p2plane")
+    tgt = icp.set_target(pcm.from_numpy(scene, capacity=2048), opts)
+    res = icp.scan_match(tgt, opts, pcm.from_numpy(src, capacity=2048), jnp.eye(3), jnp.zeros(3))
+    rot_err, t_err = _pose_err(res, R_true, t_true)
+    assert bool(res.converged)
+    assert rot_err < 5e-3 and t_err < 5e-2
+
+
+def test_p2p_recovers_pose():
+    rng = np.random.default_rng(1)
+    scene, src, R_true, t_true = _make_pair(rng, [0.01, 0.02, -0.02], [0.15, 0.1, -0.1])
+    opts = icp.IcpOptions(method="p2p")
+    tgt = icp.set_target(pcm.from_numpy(scene, capacity=2048), opts)
+    res = icp.scan_match(tgt, opts, pcm.from_numpy(src, capacity=2048), jnp.eye(3), jnp.zeros(3))
+    rot_err, t_err = _pose_err(res, R_true, t_true)
+    # P2P on random-sampled planes has sampling noise; looser tolerance.
+    assert rot_err < 2e-2 and t_err < 1e-1
+
+
+def test_p2line_recovers_pose():
+    rng = np.random.default_rng(2)
+    # line-rich scene: grid of straight edges along x and y
+    lines = []
+    for z in range(5):
+        ts = rng.uniform(-10, 10, 150)
+        lines.append(np.stack([ts, np.full_like(ts, z * 2.0 - 5), np.full_like(ts, z * 1.0)], 1))
+        lines.append(np.stack([np.full_like(ts, z * 2.0 - 5), ts, np.full_like(ts, z * 0.7)], 1))
+    scene = np.concatenate(lines).astype(np.float32)
+    R_true = oracles.so3_exp(np.array([0.01, -0.01, 0.02]))
+    t_true = np.array([0.1, 0.05, -0.05])
+    src = ((scene - t_true) @ R_true).astype(np.float32)
+    opts = icp.IcpOptions(method="p2line")
+    tgt = icp.set_target(pcm.from_numpy(scene, capacity=2048), opts)
+    res = icp.scan_match(tgt, opts, pcm.from_numpy(src, capacity=2048), jnp.eye(3), jnp.zeros(3))
+    rot_err, t_err = _pose_err(res, R_true, t_true)
+    assert rot_err < 2e-2 and t_err < 5e-2
+
+
+def test_h_b_matches_oracle_p2plane():
+    """Golden check of one linearization against the float64 reference math
+    (CaculateMatrixHAndBP2Plane, icp_registration.cpp:161-213)."""
+    rng = np.random.default_rng(3)
+    scene = _structured_scene(rng, n=400)
+    # linearize at identity with a real pose offset so the GN step is O(offset)
+    # and not noise-dominated
+    Rw = oracles.so3_exp(np.array([0.01, -0.008, 0.015]))
+    tw = np.array([0.04, -0.03, 0.02])
+    src = ((scene[::7] - tw) @ Rw).astype(np.float32)
+    R0 = np.eye(3)
+    t0 = np.zeros(3)
+
+    opts = icp.IcpOptions(method="p2plane", grid_leaf=1.0, bucket_size=32)
+    tgt_pc = pcm.from_numpy(scene, capacity=2048)
+    src_pc = pcm.from_numpy(src, capacity=256)
+    tgt = icp.set_target(tgt_pc, opts)
+    H, b, eff, chi2 = icp.compute_h_and_b(
+        tgt, opts, src_pc, jnp.array(R0, dtype=jnp.float32), jnp.array(t0, dtype=jnp.float32))
+
+    # oracle: same correspondences (exact brute-force 5-NN within the stencil)
+    from loc_lib_tpu.ops import voxel as vx
+    qs_all = src @ np.array(R0).T + t0
+
+    def nn_fn(qs):
+        # the TPU search sees only the 3x3x3 cell window around qs; take the
+        # 5 nearest among those candidates (exactly the hash-grid semantics)
+        cell = np.floor(qs)
+        in_stencil = np.all(np.abs(np.floor(scene) - cell) <= 1, axis=1)
+        cand = scene[in_stencil]
+        if len(cand) == 0:
+            return None
+        d2 = np.sum((cand - qs) ** 2, axis=1)
+        return cand[np.argsort(d2)[:5]]
+
+    H_ref, b_ref, eff_ref = oracles.icp_p2plane_h_b(
+        src.astype(np.float64), nn_fn, np.array(R0), t0)
+
+    # correspondence/gate semantics must match the reference exactly
+    assert abs(int(eff) - eff_ref) <= 2
+    # H/b agree up to f32-vs-f64 plane-fit precision (the TPU path fits in
+    # float32; the oracle in float64); the solved GN step must agree tightly
+    scale = np.abs(H_ref).max()
+    np.testing.assert_allclose(np.array(H), H_ref, atol=scale * 0.12)
+    np.testing.assert_allclose(np.array(b), b_ref, atol=np.abs(b_ref).max() * 0.15 + 1e-3)
+    dx_ours = np.linalg.solve(np.array(H, dtype=np.float64), np.array(b, dtype=np.float64))
+    dx_ref = np.linalg.solve(H_ref, b_ref)
+    np.testing.assert_allclose(dx_ours, dx_ref, atol=np.abs(dx_ref).max() * 0.2 + 2e-4)
+
+
+def test_min_effective_guard():
+    """With too few points the solver must not move (cpp:94-101)."""
+    rng = np.random.default_rng(4)
+    scene = _structured_scene(rng, n=100)
+    opts = icp.IcpOptions(method="p2plane", min_effective_pts=10**6)
+    tgt = icp.set_target(pcm.from_numpy(scene, capacity=1024), opts)
+    src_pc = pcm.from_numpy(scene[:50], capacity=64)
+    R0, t0 = jnp.eye(3), jnp.array([0.5, 0.5, 0.5])
+    res = icp.scan_match(tgt, opts, src_pc, R0, t0)
+    np.testing.assert_allclose(np.array(res.t), np.array(t0), atol=1e-6)
+    assert not bool(res.converged)
