@@ -3,7 +3,10 @@ tests don't require TPU hardware (SURVEY.md section 4 implication (4)), and
 use a persistent compilation cache so repeated runs are fast."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the ambient environment selects a TPU platform (e.g.
+# JAX_PLATFORMS=axon): the suite needs the 8-device virtual mesh, and
+# setdefault would silently run single-chip on real hardware.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
