@@ -1,0 +1,150 @@
+"""ScanContext: polar max-height descriptor + loop-closure retrieval.
+
+The reference computes the descriptor (/root/reference/LocUtils/src/model/
+loop_closure/scan_context.cpp:52-188: ring=20 x sector=60 grid of per-cell
+max z) but its retrieval — `DetectLoopClosureID`, the ring-key database, the
+column-shift alignment — is an EMPTY STUB (scan_context.cpp:190-203;
+SURVEY.md section 2). This module finishes the method as published
+(Kim & Kim, ICRA 2018), batched for the TPU:
+
+  * `descriptor`: one scatter-max over all points -> (R, S) grid.
+  * `ring_key`:   per-ring occupancy mean -> (R,) rotation-invariant key.
+  * `detect_loop`: ring-key L2 candidate gate, then the full descriptor
+    distance = min over all S column shifts of the mean per-column cosine
+    distance — computed for ALL candidates x ALL shifts as one batched
+    einsum (the O(candidates * 60) loop the CPU method dreads is a single
+    MXU-friendly tensor contraction here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pointcloud import PointCloud
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanContextOptions:
+    """Mirror of ScanContextOptions (scan_context.hpp:26-49)."""
+
+    num_ring: int = 20
+    num_sector: int = 60
+    max_radius: float = 80.0
+    search_ratio: float = 0.1        # fraction of DB as ring-key candidates
+    dist_threshold: float = 0.13     # descriptor distance acceptance gate
+    exclude_recent: int = 30         # don't match the most recent frames
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def descriptor(pc: PointCloud, opts: ScanContextOptions = ScanContextOptions()) -> jax.Array:
+    """(R, S) polar max-height grid (MakeScancontext, scan_context.cpp:52-130).
+
+    Cell value = max point z in the (ring, sector) bin, 0 if empty; z is
+    lifted by +2 m like the reference (lidar height guard, cpp:96)."""
+    x, y, z = pc.xyz[:, 0], pc.xyz[:, 1], pc.xyz[:, 2]
+    r = jnp.sqrt(x * x + y * y)
+    theta = jnp.mod(jnp.arctan2(y, x), 2.0 * jnp.pi)    # xy2theta (cpp:74)
+    ring = jnp.clip((r / opts.max_radius * opts.num_ring).astype(jnp.int32),
+                    0, opts.num_ring - 1)
+    sector = jnp.clip((theta / (2 * jnp.pi) * opts.num_sector).astype(jnp.int32),
+                      0, opts.num_sector - 1)
+    ok = pc.mask & (r <= opts.max_radius)
+    flat = jnp.where(ok, ring * opts.num_sector + sector,
+                     opts.num_ring * opts.num_sector)
+    zz = jnp.where(ok, z + 2.0, -jnp.inf)
+    grid = jnp.full((opts.num_ring * opts.num_sector + 1,), -jnp.inf, jnp.float32)
+    grid = grid.at[flat].max(zz)
+    grid = jnp.where(jnp.isfinite(grid), grid, 0.0)
+    return grid[:-1].reshape(opts.num_ring, opts.num_sector)
+
+
+def ring_key(desc: jax.Array) -> jax.Array:
+    """(R,) rotation-invariant key: per-ring occupancy ratio."""
+    return jnp.mean((desc != 0.0).astype(jnp.float32), axis=-1)
+
+
+def _shifted_distance(q: jax.Array, db: jax.Array) -> jax.Array:
+    """Min-over-shifts cosine distance between query (R, S) and each DB
+    descriptor (N, R, S): returns (N,)."""
+    s = q.shape[-1]
+    # all S cyclic shifts of the query: (S, R, S)
+    shifts = jnp.stack([jnp.roll(q, k, axis=-1) for k in range(s)])
+    # per-column cosine similarity, averaged over non-degenerate columns
+    qn = jnp.linalg.norm(shifts, axis=-2) + 1e-12          # (S, S) per column
+    dn = jnp.linalg.norm(db, axis=-2) + 1e-12              # (N, S)
+    dots = jnp.einsum("krs,nrs->nks", shifts, db)          # (N, S, S)
+    cos = dots / (qn[None] * dn[:, None])
+    valid = (jnp.linalg.norm(shifts, axis=-2)[None] > 1e-9) & \
+        (dn[:, None] > 1e-9)
+    sim = jnp.sum(jnp.where(valid, cos, 0.0), axis=-1) / jnp.maximum(
+        jnp.sum(valid, axis=-1), 1)
+    return 1.0 - jnp.max(sim, axis=-1)                     # (N,)
+
+
+class LoopResult(NamedTuple):
+    index: jax.Array      # () int32 matched frame id, -1 if none
+    distance: jax.Array   # () float32 descriptor distance
+    found: jax.Array      # () bool
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def detect_loop(query_desc: jax.Array, db_desc: jax.Array, db_keys: jax.Array,
+                db_count: jax.Array,
+                opts: ScanContextOptions = ScanContextOptions()) -> LoopResult:
+    """DetectLoopClosureID done properly: db_desc (N, R, S) padded database,
+    db_keys (N, R), db_count = number of live rows. The most recent
+    `exclude_recent` frames are excluded (standard ScanContext practice —
+    the reference's submap_gap_ analog, loop_closing.cpp:58)."""
+    n = db_desc.shape[0]
+    idx = jnp.arange(n)
+    eligible = (idx < db_count - opts.exclude_recent)
+
+    qk = ring_key(query_desc)
+    key_d2 = jnp.sum((db_keys - qk) ** 2, axis=-1)
+    key_d2 = jnp.where(eligible, key_d2, jnp.inf)
+
+    # ring-key gate: keep the best ~search_ratio * N candidates
+    k = max(1, int(opts.search_ratio * n))
+    top_d2, top_idx = jax.lax.top_k(-key_d2, k)
+    cand_ok = jnp.isfinite(-top_d2)
+
+    dist = _shifted_distance(query_desc, db_desc[top_idx])  # (k,)
+    dist = jnp.where(cand_ok, dist, jnp.inf)
+    best = jnp.argmin(dist)
+    best_dist = dist[best]
+    found = best_dist < opts.dist_threshold
+    return LoopResult(index=jnp.where(found, top_idx[best], -1).astype(jnp.int32),
+                      distance=best_dist, found=found)
+
+
+class ScanContextDb:
+    """Host-side descriptor database (the key-frame DB the reference never
+    wrote, scan_context.hpp:83-90)."""
+
+    def __init__(self, capacity: int = 4096,
+                 opts: ScanContextOptions = ScanContextOptions()):
+        import numpy as np
+
+        self.opts = opts
+        self.capacity = capacity
+        self.desc = np.zeros((capacity, opts.num_ring, opts.num_sector), np.float32)
+        self.keys = np.zeros((capacity, opts.num_ring), np.float32)
+        self.count = 0
+
+    def add(self, pc: PointCloud) -> None:
+        import numpy as np
+
+        d = descriptor(pc, self.opts)
+        self.desc[self.count] = np.asarray(d)
+        self.keys[self.count] = np.asarray(ring_key(d))
+        self.count += 1
+
+    def query(self, pc: PointCloud) -> LoopResult:
+        q = descriptor(pc, self.opts)
+        return detect_loop(q, jnp.asarray(self.desc), jnp.asarray(self.keys),
+                           jnp.int32(self.count), self.opts)

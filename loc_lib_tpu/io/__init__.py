@@ -1,1 +1,1 @@
-
+from . import config, pcd, replay, synthetic, trajectory  # noqa: F401

@@ -1,0 +1,53 @@
+"""Trajectory writers/readers: KITTI and TUM formats.
+
+Rebuild of the reference `SavePose`
+(/root/reference/LocUtils/src/tools/save_pose.cpp:70-103 KITTI,
+158-183 TUM). The reference's TUM batch writer has a bug (it writes the
+unrelated `time` symbol for every row, save_pose.cpp:169); we write the real
+per-pose timestamps. Readers are provided for the eval stack (ATE/RPE needs
+ground-truth tracks in the same formats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import lie
+import jax.numpy as jnp
+
+
+def save_kitti(path: str, poses: np.ndarray) -> None:
+    """poses: (T, 4, 4) -> KITTI rows (3x4 row-major, save_pose.cpp:70-87)."""
+    poses = np.asarray(poses)
+    rows = poses[:, :3, :].reshape(len(poses), 12)
+    np.savetxt(path, rows, fmt="%.9g")
+
+
+def load_kitti(path: str) -> np.ndarray:
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    out = np.tile(np.eye(4), (len(rows), 1, 1))
+    out[:, :3, :] = rows
+    return out
+
+
+def save_tum(path: str, stamps: np.ndarray, poses: np.ndarray) -> None:
+    """TUM rows: `t x y z qx qy qz qw` (save_pose.cpp:105-130)."""
+    poses = np.asarray(poses)
+    q = np.asarray(lie.quat_from_rotm(jnp.asarray(poses[:, :3, :3])))  # (T,4) wxyz
+    with open(path, "w") as f:
+        for i in range(len(poses)):
+            t = poses[i, :3, 3]
+            f.write(
+                f"{stamps[i]:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                f"{q[i,1]:.6f} {q[i,2]:.6f} {q[i,3]:.6f} {q[i,0]:.6f}\n"
+            )
+
+
+def load_tum(path: str):
+    rows = np.loadtxt(path).reshape(-1, 8)
+    stamps = rows[:, 0]
+    poses = np.tile(np.eye(4), (len(rows), 1, 1))
+    poses[:, :3, 3] = rows[:, 1:4]
+    q_wxyz = np.concatenate([rows[:, 7:8], rows[:, 4:7]], axis=1)
+    poses[:, :3, :3] = np.asarray(lie.rotm_from_quat(jnp.asarray(q_wxyz)))
+    return stamps, poses

@@ -1,1 +1,1 @@
-
+from . import mesh, match  # noqa: F401

@@ -45,13 +45,18 @@ def vee(W: jax.Array) -> jax.Array:
 
 
 def so3_exp(w: jax.Array) -> jax.Array:
-    """Rodrigues formula, (..., 3) -> (..., 3, 3); Taylor-safe near 0."""
+    """Rodrigues formula, (..., 3) -> (..., 3, 3); Taylor-safe near 0.
+
+    AD-safe: unselected `where` branches use unit-clamped denominators so
+    reverse/forward-mode never sees inf * 0 = NaN (the pose graph
+    differentiates through this at exactly theta = 0)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
-    # sin(t)/t and (1-cos(t))/t^2 with series fallback for tiny t
     small = theta2 < 1e-8
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta_safe) / theta_safe)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta_safe)) / theta2_safe)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -59,17 +64,26 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Log map (..., 3, 3) -> (..., 3); Taylor-safe near identity and pi."""
+    """Log map (..., 3, 3) -> (..., 3); Taylor-safe near identity and pi.
+
+    Uses theta = arctan2(|antisym|, cos) — better conditioned than arccos
+    near identity and AD-safe with the unit-clamped-denominator pattern
+    (arccos'(1) is infinite, which poisoned pose-graph Jacobians)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     # Antisymmetric part gives axis*sin(theta)
     w_sin = 0.5 * vee(R - jnp.swapaxes(R, -1, -2))
-    sin_t = jnp.sin(theta)
+    sin2 = jnp.sum(w_sin * w_sin, axis=-1)
+    # near identity: sin AND cos small-angle; near pi sin is also tiny but
+    # cos_t < 0, handled by the w_pi branch below
+    small = (sin2 < 1e-12) & (cos_t > 0)
+    sin2_safe = jnp.where(small, 1.0, sin2)
+    sin_t = jnp.sqrt(sin2_safe)
+    theta_gen = jnp.arctan2(sin_t, cos_t)
+    theta = jnp.where(small, jnp.sqrt(jnp.maximum(sin2, 0.0)), theta_gen)
     # Near theta=0: log(R) ~ vee(R - R^T)/2 * (1 + theta^2/6)
-    small = theta < 1e-4
-    scale_small = 1.0 + theta * theta / 6.0
-    scale_gen = theta / jnp.where(jnp.abs(sin_t) < _EPS, 1.0, sin_t)
+    scale_small = 1.0 + sin2 / 6.0
+    scale_gen = theta_gen / sin_t
     scale = jnp.where(small, scale_small, scale_gen)
     w_gen = w_sin * scale[..., None]
 
@@ -120,14 +134,16 @@ def se3_exp(xi: jax.Array):
     state layout dx=[dtheta, dt]) -> (R, t). Uses the full SE(3) V matrix."""
     w, v = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta - jnp.sin(theta)) / (theta2_safe * theta))
     R = eye + a[..., None, None] * W + b[..., None, None] * W2
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
     return R, jnp.einsum("...ij,...j->...i", V, v)
@@ -137,15 +153,17 @@ def se3_log(R: jax.Array, t: jax.Array) -> jax.Array:
     """Log map -> (..., 6) twist [w, v]."""
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), W.shape)
     # V^{-1} = I - W/2 + (1/theta^2 - (1+cos)/(2 theta sin)) W^2
     half_theta = 0.5 * theta
-    cot = jnp.cos(half_theta) / jnp.where(jnp.abs(jnp.sin(half_theta)) < _EPS, 1.0, jnp.sin(half_theta))
-    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - half_theta * cot) / theta2)
+    cot = jnp.cos(half_theta) / jnp.sin(half_theta)  # theta >= 1 when "small"
+    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
+                     (1.0 - half_theta * cot) / theta2_safe)
     Vinv = eye - 0.5 * W + coef[..., None, None] * W2
     v = jnp.einsum("...ij,...j->...i", Vinv, t)
     return jnp.concatenate([w, v], axis=-1)
@@ -155,6 +173,13 @@ def se3_retract(R, t, dx):
     """The reference GN update: right-multiply SO3 by exp(dx[:3]), add dx[3:]
     to translation (icp_registration.cpp:288-289)."""
     return R @ so3_exp(dx[..., :3]), t + dx[..., 3:]
+
+
+def se3_retract_full(R, t, dx):
+    """Full right-multiplicative retraction T * Exp(dx) (used by the pose
+    graph, whose residual is differentiated w.r.t. this perturbation)."""
+    dR, dt = se3_exp(dx)
+    return se3_compose(R, t, dR, dt)
 
 
 def se3_matrix(R, t):

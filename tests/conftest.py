@@ -1,17 +1,18 @@
 """Test harness: run everything on a virtual 8-device CPU mesh so sharding
 tests don't require TPU hardware (SURVEY.md section 4 implication (4)), and
-use a persistent compilation cache so repeated runs are fast."""
-import os
+use a persistent compilation cache so repeated runs are fast.
 
-# Force CPU even if the ambient environment selects a TPU platform (e.g.
-# JAX_PLATFORMS=axon): the suite needs the 8-device virtual mesh, and
-# setdefault would silently run single-chip on real hardware.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+NOTE: this environment's sitecustomize imports jax at interpreter startup and
+registers a TPU ("axon") backend with JAX_PLATFORMS=axon, so setting the env
+var here is too late — the platform must be forced through jax.config, which
+still works because backends are initialized lazily on first use."""
+import os
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.device_count() == 8, jax.devices()

@@ -1,0 +1,113 @@
+"""Pose graph + ScanContext loop closure tests (the 3D generalization of
+loop_closing.cpp:160-255 and the retrieval the reference left as a stub,
+scan_context.cpp:190-203)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from loc_lib_tpu.graph import pose_graph as pg, scan_context as sc
+from loc_lib_tpu.io import synthetic
+from loc_lib_tpu.ops.pointcloud import from_numpy
+from loc_lib_tpu.utils import lie
+
+
+def _noisy_chain(m=12, seed=0, drift=0.05):
+    """Ground-truth circle of poses + drifted odometry estimates."""
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0, 1.5 * np.pi, m)
+    t_gt = np.stack([np.cos(ang) * 5, np.sin(ang) * 5, np.zeros(m)], axis=1)
+    R_gt = np.stack([np.asarray(lie.so3_exp(jnp.array([0, 0, a], jnp.float32)))
+                     for a in ang])
+    # integrate noisy relative motions
+    R_est = [R_gt[0]]
+    t_est = [t_gt[0]]
+    for i in range(1, m):
+        Rrel = R_gt[i - 1].T @ R_gt[i]
+        trel = R_gt[i - 1].T @ (t_gt[i] - t_gt[i - 1])
+        trel = trel + rng.normal(0, drift, 3)
+        R_est.append(R_est[-1] @ Rrel)
+        t_est.append(t_est[-1] + R_est[-1] @ trel)
+    return (np.stack(R_gt).astype(np.float32), t_gt.astype(np.float32),
+            np.stack(R_est).astype(np.float32), np.stack(t_est).astype(np.float32))
+
+
+def test_pose_graph_corrects_drift():
+    R_gt, t_gt, R_est, t_est = _noisy_chain()
+    m = len(R_gt)
+    # odometry edges from the (noisy) estimates, loop edge = exact relative
+    # pose between first and last node
+    odo = pg.odometry_edges(jnp.asarray(R_est), jnp.asarray(t_est))
+    Rl = R_gt[0].T @ R_gt[-1]
+    tl = R_gt[0].T @ (t_gt[-1] - t_gt[0])
+    loop = pg.Se3Edges(
+        i=jnp.array([0], jnp.int32), j=jnp.array([m - 1], jnp.int32),
+        R=jnp.asarray(Rl)[None], t=jnp.asarray(tl)[None],
+        info=jnp.eye(6, dtype=jnp.float32)[None] * 1e4,
+        is_loop=jnp.array([True]), valid=jnp.array([True]))
+    edges = pg.concat_edges(odo, loop)
+
+    err_before = np.linalg.norm(t_est[-1] - t_gt[-1])
+    R, t, inliers = pg.optimize_two_phase(
+        jnp.asarray(R_est), jnp.asarray(t_est), edges)
+    err_after = np.linalg.norm(np.asarray(t)[-1] - t_gt[-1])
+    assert bool(inliers[-1]), "true loop should survive chi2 gating"
+    # Loop and odometry edges share info (1e4), so the optimum distributes
+    # the drift: ~90% of the endpoint error is recovered.
+    assert err_after < err_before * 0.15, (err_before, err_after)
+    assert err_after < 0.4
+
+
+def test_pose_graph_rejects_false_loop():
+    R_gt, t_gt, R_est, t_est = _noisy_chain(drift=0.01)
+    m = len(R_gt)
+    odo = pg.odometry_edges(jnp.asarray(R_est), jnp.asarray(t_est))
+    # wildly wrong loop constraint
+    bad = pg.Se3Edges(
+        i=jnp.array([0], jnp.int32), j=jnp.array([m - 1], jnp.int32),
+        R=jnp.eye(3, dtype=jnp.float32)[None],
+        t=jnp.array([[30.0, -20.0, 5.0]], jnp.float32),
+        info=jnp.eye(6, dtype=jnp.float32)[None] * 1e4,
+        is_loop=jnp.array([True]), valid=jnp.array([True]))
+    edges = pg.concat_edges(odo, bad)
+    R, t, inliers = pg.optimize_two_phase(
+        jnp.asarray(R_est), jnp.asarray(t_est), edges)
+    assert not bool(inliers[-1]), "false loop must be chi2-gated out"
+    # trajectory must stay near the odometry solution, not the bad loop
+    assert np.linalg.norm(np.asarray(t)[-1] - t_est[-1]) < 1.0
+
+
+def test_scan_context_retrieval():
+    """Same-place scans (rotated) must match; different places must not."""
+    world = synthetic.make_world(num_points=30000, extent=60.0, seed=5)
+    # 0.35 gate: the synthetic re-render resamples world points, so same-place
+    # descriptors differ more than real lidar revisits (same-place ~0.2 here,
+    # different-place >=0.45; the 0.13 default is the real-data operating point)
+    opts = sc.ScanContextOptions(exclude_recent=2, dist_threshold=0.35)
+    db = sc.ScanContextDb(capacity=64, opts=opts)
+
+    poses = [(-20.0, -20.0), (0.0, 20.0), (25.0, 5.0), (-10.0, 15.0),
+             (15.0, -25.0), (5.0, 5.0)]
+    scans = []
+    for k, (x, y) in enumerate(poses):
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([x, y, 1.5], np.float32)
+        scans.append(synthetic.render_scan(world, R, t, max_range=50.0,
+                                           max_points=4096, seed=k,
+                                           capacity=4096))
+        db.add(scans[-1])
+
+    # revisit pose 0 with a yaw rotation — must retrieve frame 0
+    yaw = np.asarray(lie.so3_exp(jnp.array([0, 0, 1.1], jnp.float32)))
+    revisit = synthetic.render_scan(world, yaw, np.array([-20.0, -20.0, 1.5]),
+                                    max_range=50.0, max_points=4096, seed=99,
+                                    capacity=4096)
+    res = db.query(revisit)
+    assert bool(res.found), f"loop not found (dist={float(res.distance):.3f})"
+    assert int(res.index) == 0
+
+    # a far-away novel place must NOT match anything
+    novel = synthetic.render_scan(world, np.eye(3, dtype=np.float32),
+                                  np.array([55.0, 55.0, 1.5]), max_range=50.0,
+                                  max_points=4096, seed=98, capacity=4096)
+    res2 = db.query(novel)
+    assert int(res2.index) != 0 or not bool(res2.found)
