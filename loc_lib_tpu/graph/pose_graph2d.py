@@ -1,0 +1,155 @@
+"""SE(2) pose-graph optimization — the direct rebuild of the reference's 2D
+loop-closing backend (/root/reference/LocUtils/src/mapping_2d/
+loop_closing.cpp:160-255, g2o types in common/g2o_types.h:20-33,112-129).
+
+Same architecture as the SE(3) module (graph/pose_graph.py) with a 3-dim
+tangent (x, y, theta): vmap-linearized edges with autodiff Jacobians,
+block-sparse assembly, Huber/Cauchy reweighting, two-phase chi2 gating of
+loop edges. The reference's residual is
+  r = (T_i^-1 T_j) boxminus Z_ij = [R(-th_i)(t_j - t_i) - t_z ;
+                                    wrap(th_j - th_i - th_z)]
+(EdgeSE2::computeError semantics)."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import lie
+from .pose_graph import PgoOptions
+
+
+class Se2Edges(NamedTuple):
+    i: jax.Array        # (E,) int32
+    j: jax.Array        # (E,) int32
+    theta: jax.Array    # (E,)   measured relative yaw
+    t: jax.Array        # (E, 2) measured relative translation
+    info: jax.Array     # (E, 3, 3)
+    is_loop: jax.Array  # (E,) bool
+    valid: jax.Array    # (E,) bool
+
+
+def _se2_residual(thi, ti, thj, tj, thm, tm, xi_i, xi_j):
+    """Right-perturbed residual; xi = (dx, dy, dtheta) applied in the body
+    frame: T <- T * Exp(xi)."""
+    ci, si = jnp.cos(thi + xi_i[2]), jnp.sin(thi + xi_i[2])
+    cj, sj = jnp.cos(thj + xi_j[2]), jnp.sin(thj + xi_j[2])
+    ti2 = ti + jnp.stack([jnp.cos(thi) * xi_i[0] - jnp.sin(thi) * xi_i[1],
+                          jnp.sin(thi) * xi_i[0] + jnp.cos(thi) * xi_i[1]])
+    tj2 = tj + jnp.stack([jnp.cos(thj) * xi_j[0] - jnp.sin(thj) * xi_j[1],
+                          jnp.sin(thj) * xi_j[0] + jnp.cos(thj) * xi_j[1]])
+    d = tj2 - ti2
+    rel_t = jnp.stack([ci * d[0] + si * d[1], -si * d[0] + ci * d[1]])
+    rel_th = (thj + xi_j[2]) - (thi + xi_i[2])
+    r_t = rel_t - tm
+    r_th = lie.wrap_angle(rel_th - thm)
+    return jnp.concatenate([r_t, r_th[None]])
+
+
+def _linearize_one(thi, ti, thj, tj, thm, tm):
+    z = jnp.zeros(3, jnp.float32)
+    r = _se2_residual(thi, ti, thj, tj, thm, tm, z, z)
+    Ji = jax.jacfwd(lambda x: _se2_residual(thi, ti, thj, tj, thm, tm, x, z))(z)
+    Jj = jax.jacfwd(lambda x: _se2_residual(thi, ti, thj, tj, thm, tm, z, x))(z)
+    return r, Ji, Jj
+
+
+_linearize = jax.vmap(_linearize_one)
+
+
+def _robust_weight(opts: PgoOptions, chi2: jax.Array) -> jax.Array:
+    d2 = opts.kernel_delta ** 2
+    if opts.kernel == "cauchy":
+        return 1.0 / (1.0 + chi2 / d2)
+    if opts.kernel == "huber":
+        s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        return jnp.where(s <= opts.kernel_delta, 1.0, opts.kernel_delta / s)
+    return jnp.ones_like(chi2)
+
+
+def edge_chi2(theta, t, edges: Se2Edges) -> jax.Array:
+    r, _, _ = _linearize(theta[edges.i], t[edges.i], theta[edges.j], t[edges.j],
+                         edges.theta, edges.t)
+    return jnp.einsum("ei,eij,ej->e", r, edges.info, r)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "num_nodes"))
+def optimize(theta, t, edges: Se2Edges, opts: PgoOptions = PgoOptions(),
+             num_nodes: Optional[int] = None):
+    m = num_nodes or theta.shape[0]
+
+    def gn_iter(carry, _):
+        th, tt = carry
+        r, Ji, Jj = _linearize(th[edges.i], tt[edges.i], th[edges.j], tt[edges.j],
+                               edges.theta, edges.t)
+        chi2 = jnp.einsum("ei,eij,ej->e", r, edges.info, r)
+        w = _robust_weight(opts, chi2) * edges.valid.astype(r.dtype)
+        info_w = edges.info * w[:, None, None]
+
+        Hii = jnp.einsum("eki,ekl,elj->eij", Ji, info_w, Ji)
+        Hjj = jnp.einsum("eki,ekl,elj->eij", Jj, info_w, Jj)
+        Hij = jnp.einsum("eki,ekl,elj->eij", Ji, info_w, Jj)
+        bi = -jnp.einsum("eki,ekl,el->ei", Ji, info_w, r)
+        bj = -jnp.einsum("eki,ekl,el->ei", Jj, info_w, r)
+
+        Hd = jax.ops.segment_sum(Hii, edges.i, num_segments=m) + \
+            jax.ops.segment_sum(Hjj, edges.j, num_segments=m)
+        b = jax.ops.segment_sum(bi, edges.i, num_segments=m) + \
+            jax.ops.segment_sum(bj, edges.j, num_segments=m)
+
+        H = jnp.zeros((m, 3, m, 3), jnp.float32)
+        idx = jnp.arange(m)
+        H = H.at[idx, :, idx, :].set(Hd + opts.damping * jnp.eye(3, dtype=jnp.float32))
+        H = H.at[edges.i, :, edges.j, :].add(Hij * edges.valid[:, None, None])
+        H = H.at[edges.j, :, edges.i, :].add(
+            jnp.swapaxes(Hij, -1, -2) * edges.valid[:, None, None])
+        H = H.at[0, :, 0, :].add(opts.gauge_weight * jnp.eye(3, dtype=jnp.float32))
+
+        dx = jnp.linalg.solve(H.reshape(3 * m, 3 * m), b.reshape(3 * m))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(m, 3)
+        # apply body-frame perturbation (matching the residual's convention)
+        c, s = jnp.cos(th), jnp.sin(th)
+        tt2 = tt + jnp.stack([c * dx[:, 0] - s * dx[:, 1],
+                              s * dx[:, 0] + c * dx[:, 1]], axis=-1)
+        th2 = lie.wrap_angle(th + dx[:, 2])
+        return (th2, tt2), jnp.sum(chi2 * edges.valid)
+
+    (th, tt), hist = jax.lax.scan(gn_iter, (theta, t), None,
+                                  length=opts.max_iterations)
+    return th, tt, edge_chi2(th, tt, edges), hist
+
+
+def optimize_two_phase(theta, t, edges: Se2Edges,
+                       opts: PgoOptions = PgoOptions()):
+    """Two-phase optimize + chi2 loop gating (loop_closing.cpp:219-246).
+    Returns (theta, t, loop_inlier_mask_over_all_edges)."""
+    th, tt, chi2, _ = optimize(theta, t, edges, opts)
+    inlier = (~edges.is_loop) | (chi2 <= opts.loop_chi2_th)
+    edges2 = edges._replace(valid=edges.valid & inlier)
+    opts2 = dataclasses.replace(opts, max_iterations=opts.second_phase_iterations)
+    th, tt, _, _ = optimize(th, tt, edges2, opts2)
+    return th, tt, inlier & edges.is_loop
+
+
+def odometry_edges(theta, t, info_scale: float = 1e4) -> Se2Edges:
+    """Sequential edges with info = 1e4 * I (loop_closing.cpp:192-199)."""
+    m = theta.shape[0]
+    i = jnp.arange(m - 1, dtype=jnp.int32)
+    j = i + 1
+    c, s = jnp.cos(theta[i]), jnp.sin(theta[i])
+    d = t[j] - t[i]
+    rel_t = jnp.stack([c * d[:, 0] + s * d[:, 1],
+                       -s * d[:, 0] + c * d[:, 1]], axis=-1)
+    rel_th = lie.wrap_angle(theta[j] - theta[i])
+    info = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * info_scale, (m - 1, 3, 3))
+    return Se2Edges(i=i, j=j, theta=rel_th, t=rel_t, info=info,
+                    is_loop=jnp.zeros((m - 1,), bool),
+                    valid=jnp.ones((m - 1,), bool))
+
+
+def concat_edges(a: Se2Edges, b: Se2Edges) -> Se2Edges:
+    return Se2Edges(*[jnp.concatenate([x, y]) for x, y in zip(a, b)])

@@ -137,7 +137,7 @@ def likelihood_field(grid: OccupancyGrid, opts: Grid2dOptions) -> jax.Array:
     count < unknown-10 ... the reference treats counts below 127 as hits).
     """
     r = opts.field_radius
-    occupied = grid.counts > (opts.unknown + 5)   # endpoints pushed counts up
+    occupied = grid.counts > opts.unknown   # net-positive hit evidence
     big = jnp.float32(r * r * 4.0)
     g = jnp.where(occupied, 0.0, big)
 

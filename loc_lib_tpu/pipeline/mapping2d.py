@@ -1,0 +1,276 @@
+"""2D submap SLAM: scan matching, submap management, loop closure.
+
+TPU-native rebuild of the reference 2D stack (a Cartographer-lite):
+
+  * `Mapping2D` (/root/reference/LocUtils/src/mapping_2d/mapping_2d.cpp):
+    per scan — motion guess, GN match into the current submap's likelihood
+    field (mapping_2d.cpp:65-130), keyframe test 0.3 m / 15 deg
+    (mapping_2d.hpp:73-74), occupancy update + field regen, submap expansion
+    when the scan leaves the grid or after 50 keyframes
+    (mapping_2d.cpp:154-184).
+  * `Submap` (mapping_2d/submap.cpp): pose T_w_s + occupancy + field; new
+    submaps are seeded from the last frames of the previous one
+    (submap.cpp:14-23).
+  * `LoopClosing` (mapping_2d/loop_closing.cpp): distance-gated candidates
+    vs historical submaps (15 m, skip the most recent, cpp:52-85);
+    re-registration through a multi-resolution field pyramid
+    (multi_resolution_likelihood_field.cpp:53-178) with inlier-ratio
+    acceptance; SE(2) pose graph (sequential + loop edges, robust kernel,
+    two-phase chi2 gating) over submap poses, then frame poses are updated
+    through their submaps (loop_closing.cpp:160-255).
+
+Device/host split: field matching, occupancy scatter, EDT, and the pose
+graph run as jitted programs; submap lifecycle and loop bookkeeping live in
+the host driver, mirroring the reference's object layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import grid2d
+from ..graph import pose_graph2d as pg2
+from ..graph.pose_graph import PgoOptions
+from ..utils import lie
+
+
+@dataclasses.dataclass(frozen=True)
+class Mapping2dOptions:
+    grid: grid2d.Grid2dOptions = grid2d.Grid2dOptions()
+    align: grid2d.Align2dOptions = grid2d.Align2dOptions()
+    keyframe_dist: float = 0.3           # mapping_2d.hpp:73
+    keyframe_angle_deg: float = 15.0     # mapping_2d.hpp:74
+    max_keyframes_in_submap: int = 50    # mapping_2d.cpp:166
+    loop_candidate_radius: float = 15.0  # loop_closing.cpp:69
+    loop_submap_gap: int = 1             # loop_closing.cpp:58
+    loop_min_inlier_ratio: float = 0.4   # multi_resolution_...cpp:170
+    pgo: PgoOptions = PgoOptions()
+    # multi-res pyramid: coarse-to-fine pooling factors over the base field
+    pyramid_factors: tuple = (8, 4, 2, 1)
+
+
+class Submap:
+    """Host-side submap record (Submap, submap.hpp:25-73)."""
+
+    def __init__(self, opts: Mapping2dOptions, theta_ws: float, t_ws: np.ndarray,
+                 index: int):
+        self.opts = opts
+        self.index = index
+        self.theta_ws = float(theta_ws)
+        self.t_ws = np.asarray(t_ws, np.float32)
+        self.grid = grid2d.empty_grid(opts.grid)
+        self.field = grid2d.likelihood_field(self.grid, opts.grid)
+        self.num_frames = 0
+        self.frame_ids: list[int] = []
+
+    def world_to_submap(self, theta_wb, t_wb):
+        th, t = lie.se2_compose(
+            *lie.se2_inverse(jnp.float32(self.theta_ws), jnp.asarray(self.t_ws)),
+            jnp.float32(theta_wb), jnp.asarray(t_wb, jnp.float32))
+        return float(th), np.asarray(t)
+
+    def submap_to_world(self, theta_sb, t_sb):
+        th, t = lie.se2_compose(jnp.float32(self.theta_ws), jnp.asarray(self.t_ws),
+                                jnp.float32(theta_sb), jnp.asarray(t_sb, jnp.float32))
+        return float(th), np.asarray(t)
+
+    def add_scan(self, scan_xy, valid, theta_sb, t_sb):
+        """AddScanInOccupancyMap (submap.cpp:33-36): pose the scan into the
+        submap frame, update occupancy, regenerate the field."""
+        pts = np.asarray(lie.se2_apply(jnp.float32(theta_sb),
+                                       jnp.asarray(t_sb, jnp.float32),
+                                       jnp.asarray(scan_xy)))
+        self.grid = grid2d.add_scan(self.grid, self.opts.grid,
+                                    jnp.asarray(pts), jnp.asarray(valid),
+                                    jnp.asarray(t_sb, jnp.float32))
+        self.field = grid2d.likelihood_field(self.grid, self.opts.grid)
+        self.num_frames += 1
+
+    def match_scan(self, scan_xy, valid, theta0_sb, t0_sb) -> grid2d.Align2dResult:
+        return grid2d.align_gauss_newton(
+            self.field, self.opts.grid, jnp.asarray(scan_xy), jnp.asarray(valid),
+            jnp.float32(theta0_sb), jnp.asarray(t0_sb, jnp.float32), self.opts.align)
+
+    def match_multires(self, scan_xy, valid, theta0_sb, t0_sb):
+        """Coarse-to-fine alignment through a pooled field pyramid
+        (MRLikelihoodField::AlignG2O, multi_resolution_likelihood_field.cpp:
+        53-178). Returns (result, accepted)."""
+        th, t = jnp.float32(theta0_sb), jnp.asarray(t0_sb, jnp.float32)
+        res = None
+        for f in self.opts.pyramid_factors:
+            field, gopts = _pooled_field(self.field, self.opts.grid, f)
+            res = grid2d.align_gauss_newton(
+                field, gopts, jnp.asarray(scan_xy), jnp.asarray(valid),
+                th, t, self.opts.align)
+            th, t = res.theta, res.t
+        ok = (float(res.inlier_ratio) >= self.opts.loop_min_inlier_ratio
+              and int(res.num_effective) >= self.opts.align.min_effective)
+        return res, ok
+
+
+def _pooled_field(field: jax.Array, gopts: grid2d.Grid2dOptions, factor: int):
+    """Min-pool the base distance field by `factor` — equivalent to a field
+    built at resolution/factor (distance values rescale with resolution)."""
+    if factor == 1:
+        return field, gopts
+    n = field.shape[0] // factor
+    pooled = field[: n * factor, : n * factor].reshape(n, factor, n, factor).min(
+        axis=(1, 3)) / factor
+    new_opts = dataclasses.replace(
+        gopts, image_size=n, resolution=gopts.resolution / factor,
+        field_radius=max(2, gopts.field_radius // factor))
+    return pooled, new_opts
+
+
+class LoopConstraint(NamedTuple):
+    submap_i: int
+    submap_j: int
+    theta_ij: float
+    t_ij: np.ndarray
+    valid: bool
+
+
+class Mapping2D:
+    """Host driver (Mapping2D, mapping_2d.hpp:26-75)."""
+
+    def __init__(self, opts: Mapping2dOptions = Mapping2dOptions()):
+        self.opts = opts
+        self.submaps: list[Submap] = [Submap(opts, 0.0, np.zeros(2), 0)]
+        self.theta_wb = 0.0
+        self.t_wb = np.zeros(2, np.float32)
+        self.last_theta = 0.0
+        self.last_t = np.zeros(2, np.float32)
+        self.last_kf_theta = 0.0
+        self.last_kf_t = np.zeros(2, np.float32)
+        self.frame_count = 0
+        self.loops: list[LoopConstraint] = []
+        self.frame_poses: list[tuple[float, np.ndarray]] = []
+
+    # -- per-scan -----------------------------------------------------------
+    def process_scan(self, scan_xy: np.ndarray, valid: np.ndarray):
+        """ProcessScan (mapping_2d.cpp:65-130). scan_xy in the sensor frame."""
+        opts = self.opts
+        first = self.frame_count == 0
+        # constant-velocity world guess (mapping_2d.cpp:79-85)
+        dth = lie.wrap_angle(jnp.float32(self.theta_wb - self.last_theta))
+        guess_th = self.theta_wb + float(dth)
+        guess_t = self.t_wb + (self.t_wb - self.last_t)
+
+        cur = self.submaps[-1]
+        if not first:
+            th0, t0 = cur.world_to_submap(guess_th, guess_t)
+            res = cur.match_scan(scan_xy, valid, th0, t0)
+            th_w, t_w = cur.submap_to_world(float(res.theta), np.asarray(res.t))
+        else:
+            th_w, t_w = self.theta_wb, self.t_wb
+
+        self.last_theta, self.last_t = self.theta_wb, self.t_wb
+        self.theta_wb, self.t_wb = float(th_w), np.asarray(t_w, np.float32)
+        self.frame_poses.append((self.theta_wb, self.t_wb.copy()))
+
+        if first or self._is_keyframe():
+            self.last_kf_theta, self.last_kf_t = self.theta_wb, self.t_wb
+            th_sb, t_sb = cur.world_to_submap(self.theta_wb, self.t_wb)
+            cur.add_scan(scan_xy, valid, th_sb, t_sb)
+            cur.frame_ids.append(self.frame_count)
+            self._maybe_expand(scan_xy, valid)
+            self._detect_loops(scan_xy, valid)
+
+        self.frame_count += 1
+        return self.theta_wb, self.t_wb.copy()
+
+    def _is_keyframe(self) -> bool:
+        d = np.linalg.norm(self.t_wb - self.last_kf_t)
+        a = abs(float(lie.wrap_angle(jnp.float32(self.theta_wb - self.last_kf_theta))))
+        return d > self.opts.keyframe_dist or a > np.deg2rad(self.opts.keyframe_angle_deg)
+
+    def _maybe_expand(self, scan_xy, valid):
+        """ExpandSubmap triggers (mapping_2d.cpp:154-184)."""
+        cur = self.submaps[-1]
+        th_sb, t_sb = cur.world_to_submap(self.theta_wb, self.t_wb)
+        pts = np.asarray(lie.se2_apply(jnp.float32(th_sb), jnp.asarray(t_sb, jnp.float32),
+                                       jnp.asarray(scan_xy)))
+        oob = float(grid2d.out_of_bounds_fraction(self.opts.grid, jnp.asarray(pts),
+                                                  jnp.asarray(valid)))
+        if oob > 0.1 or cur.num_frames > self.opts.max_keyframes_in_submap:
+            new = Submap(self.opts, self.theta_wb, self.t_wb, len(self.submaps))
+            # seed with the current scan so matching has a target immediately
+            new.add_scan(scan_xy, valid, 0.0, np.zeros(2))
+            self.submaps.append(new)
+
+    # -- loop closing ---------------------------------------------------------
+    def _detect_loops(self, scan_xy, valid):
+        """DetectLoopCandidates + MatchInHistorySubmaps (loop_closing.cpp:
+        52-158), then optimize."""
+        opts = self.opts
+        cur = self.submaps[-1]
+        found = False
+        for sm in self.submaps[: max(0, len(self.submaps) - 1 - opts.loop_submap_gap)]:
+            if np.linalg.norm(sm.t_ws - self.t_wb) > opts.loop_candidate_radius:
+                continue
+            th0, t0 = sm.world_to_submap(self.theta_wb, self.t_wb)
+            res, ok = sm.match_multires(scan_xy, valid, th0, t0)
+            if not ok:
+                continue
+            # constraint between submap sm and current submap:
+            # T_sm_cur = T_sm_b * T_b_cur, with T_sm_b from the match and
+            # T_b_cur = (T_w_b)^-1 T_w_cur
+            th_b_cur, t_b_cur = lie.se2_compose(
+                *lie.se2_inverse(jnp.float32(self.theta_wb), jnp.asarray(self.t_wb)),
+                jnp.float32(cur.theta_ws), jnp.asarray(cur.t_ws))
+            th_ij, t_ij = lie.se2_compose(res.theta, res.t, th_b_cur, t_b_cur)
+            self.loops.append(LoopConstraint(
+                submap_i=sm.index, submap_j=cur.index,
+                theta_ij=float(th_ij), t_ij=np.asarray(t_ij), valid=True))
+            found = True
+        if found:
+            self.optimize()
+
+    def optimize(self):
+        """Pose-graph over submap poses + write-back
+        (loop_closing.cpp:160-255)."""
+        m = len(self.submaps)
+        if m < 2 or not self.loops:
+            return
+        theta = jnp.asarray([s.theta_ws for s in self.submaps], jnp.float32)
+        t = jnp.asarray(np.stack([s.t_ws for s in self.submaps]), jnp.float32)
+        edges = pg2.odometry_edges(theta, t)
+        li = jnp.asarray([l.submap_i for l in self.loops], jnp.int32)
+        lj = jnp.asarray([l.submap_j for l in self.loops], jnp.int32)
+        lth = jnp.asarray([l.theta_ij for l in self.loops], jnp.float32)
+        lt = jnp.asarray(np.stack([l.t_ij for l in self.loops]), jnp.float32)
+        loops = pg2.Se2Edges(
+            i=li, j=lj, theta=lth, t=lt,
+            info=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e4,
+                                  (len(self.loops), 3, 3)),
+            is_loop=jnp.ones((len(self.loops),), bool),
+            valid=jnp.asarray([l.valid for l in self.loops]))
+        edges = pg2.concat_edges(edges, loops)
+        th2, t2, inlier = pg2.optimize_two_phase(theta, t, edges, self.opts.pgo)
+        th2, t2 = np.asarray(th2), np.asarray(t2)
+        # write back submap poses and deactivate rejected loops (cpp:243-246)
+        n_odo = m - 1
+        inl = np.asarray(inlier)[n_odo:]
+        for k, l in enumerate(self.loops):
+            if not inl[k]:
+                self.loops[k] = l._replace(valid=False)
+        # current body pose rides its submap (UpdateFramePoseWorld analog)
+        cur = self.submaps[-1]
+        th_sb, t_sb = cur.world_to_submap(self.theta_wb, self.t_wb)
+        for k, s in enumerate(self.submaps):
+            s.theta_ws = float(th2[k])
+            s.t_ws = t2[k]
+        th_w, t_w = cur.submap_to_world(th_sb, t_sb)
+        self.theta_wb, self.t_wb = float(th_w), np.asarray(t_w, np.float32)
+
+    # -- export ---------------------------------------------------------------
+    def global_occupancy(self) -> np.ndarray:
+        """Stitched global map (ShowGlobalMap analog, mapping_2d.cpp:186-324):
+        returns a list of (counts, theta_ws, t_ws) for external rendering."""
+        return [(np.asarray(s.grid.counts), s.theta_ws, s.t_ws.copy())
+                for s in self.submaps]

@@ -64,6 +64,59 @@ def merge_gaussian(hist_n, hist_mean, hist_cov, cur_n, cur_mean, cur_cov):
     return new_mean, new_cov
 
 
+def eigh_sym3x3(A: jax.Array):
+    """Closed-form eigendecomposition of symmetric (..., 3, 3) matrices.
+
+    Analytic eigenvalues (Cardano, ascending order) and eigenvectors by the
+    matrix-product trick: for eigenvalue li, the columns of
+    (A - lj I)(A - lk I) span its eigenspace. Fully branch-free arithmetic —
+    on TPU this runs on the VPU in microseconds where `jnp.linalg.eigh`'s
+    iterative batched factorization takes tens of milliseconds (measured:
+    30.7 ms for 8192x(3,3) on v5e), which made it the #2 hot spot of the
+    whole ICP pipeline. Accuracy is ample for covariance/plane work (~1e-6
+    relative for well-separated eigenvalues; degenerate pairs fall back to
+    stable column selection).
+    """
+    a00 = A[..., 0, 0]; a01 = A[..., 0, 1]; a02 = A[..., 0, 2]
+    a11 = A[..., 1, 1]; a12 = A[..., 1, 2]; a22 = A[..., 2, 2]
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    # det(B)/2p^3 with B = (A - qI)/p
+    detB = (b00 * (b11 * b22 - a12 * a12)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02))
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e2 = q + 2.0 * p * jnp.cos(phi)                          # largest
+    e0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)     # smallest
+    e1 = 3.0 * q - e0 - e2
+    vals = jnp.stack([e0, e1, e2], axis=-1)
+
+    eye = jnp.eye(3, dtype=A.dtype)
+
+    def vec_for(li, lj, lk):
+        M = (A - lj[..., None, None] * eye) @ (A - lk[..., None, None] * eye)
+        # best column = largest norm (branch-free)
+        n2 = jnp.sum(M * M, axis=-2)                          # (..., 3)
+        onehot = jax.nn.one_hot(jnp.argmax(n2, axis=-1), 3, dtype=A.dtype)
+        v = jnp.einsum("...ij,...j->...i", M, onehot)
+        nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        # degenerate (near-spherical) fallback: e_x
+        fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+        return jnp.where(nrm > 1e-20, v / jnp.maximum(nrm, 1e-20), fallback)
+
+    v0 = vec_for(e0, e1, e2)
+    v2 = vec_for(e2, e0, e1)
+    # middle vector: orthogonal completion (exact for symmetric A)
+    v1 = jnp.cross(v2, v0)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-20)
+    vecs = jnp.stack([v0, v1, v2], axis=-1)                   # columns
+    return vals, vecs
+
+
 def fit_plane(pts: jax.Array, mask: jax.Array, eps: float = 1e-2):
     """Batched plane fit: smallest right-singular vector of [x y z 1].
 
@@ -72,14 +125,23 @@ def fit_plane(pts: jax.Array, mask: jax.Array, eps: float = 1e-2):
     the null direction of A = [p, 1]; validity requires >=3 points and
     per-point residual^2 <= eps for every (real) neighbor.
     """
-    m = mask[..., None].astype(pts.dtype)
-    A = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1) * m  # (...,K,4)
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    # Smallest eigenvector of AtA == smallest right singular vector of A.
-    _, vecs = jnp.linalg.eigh(AtA)
-    coeffs = vecs[..., :, 0]
-    n = jnp.sum(mask, axis=-1)
-    resid = jnp.einsum("...ki,...i->...k", A, coeffs)  # masked rows give 0
+    # Centered PCA: unit normal = smallest eigenvector of the centered
+    # scatter, offset d0 = -n.c; then rescale the 4-vector (n, d0) to unit
+    # norm, matching the reference's ||(n,d)||_4 = 1 convention. For the
+    # near-coplanar 5-NN sets this agrees with the exact [p,1] TLS solution
+    # to O(residual^2) and runs closed-form instead of batched eigh
+    # (documented deviation; golden ICP tests bound the effect).
+    centroid, n = masked_mean(pts, mask)
+    d = (pts - centroid[..., None, :]) * mask[..., None].astype(pts.dtype)
+    S = jnp.einsum("...ki,...kj->...ij", d, d)
+    _, vecs = eigh_sym3x3(S)
+    nvec = vecs[..., :, 0]
+    d0 = -jnp.sum(nvec * centroid, axis=-1, keepdims=True)
+    coeffs = jnp.concatenate([nvec, d0], axis=-1)
+    coeffs = coeffs / jnp.maximum(
+        jnp.linalg.norm(coeffs, axis=-1, keepdims=True), 1e-12)
+    resid = (jnp.einsum("...ki,...i->...k", pts, coeffs[..., :3])
+             + coeffs[..., 3][..., None])
     ok = jnp.all(jnp.where(mask, resid * resid <= eps, True), axis=-1)
     valid = (n >= 3) & ok & jnp.isfinite(coeffs).all(axis=-1)
     return coeffs, valid
@@ -95,7 +157,7 @@ def fit_line(pts: jax.Array, mask: jax.Array, eps: float = 0.2):
     origin, n = masked_mean(pts, mask)
     d = (pts - origin[..., None, :]) * mask[..., None].astype(pts.dtype)
     S = jnp.einsum("...ki,...kj->...ij", d, d)
-    _, vecs = jnp.linalg.eigh(S)
+    _, vecs = eigh_sym3x3(S)
     direction = vecs[..., :, 2]  # largest eigenvalue
     cr = jnp.cross(jnp.broadcast_to(direction[..., None, :], d.shape), d)
     cr2 = jnp.sum(cr * cr, axis=-1)
@@ -111,7 +173,7 @@ def clamped_inverse_3x3(cov: jax.Array, rel_floor: float = 1e-3):
     SVD of sigma, clamp lambda[1], lambda[2] below lambda[0]*1e-3, invert.
     cov: (..., 3, 3) symmetric PSD -> info (..., 3, 3).
     """
-    vals, vecs = jnp.linalg.eigh(cov)  # ascending
+    vals, vecs = eigh_sym3x3(cov)  # ascending
     lam0 = vals[..., 2:3]  # largest
     floor = lam0 * rel_floor
     clamped = jnp.maximum(vals, floor)

@@ -41,6 +41,25 @@ def fit_plane(pts, eps=1e-2):
     return coeffs, bool(np.all(resid**2 <= eps))
 
 
+def fit_plane_centered(pts, eps=1e-2):
+    """The TPU engine's plane fit in float64: centroid + PCA normal, 4-vector
+    renormalized. This IS the exact [p-c, 1] TLS (the centered Gram matrix is
+    block diagonal); it deviates from the reference's uncentered [p, 1] TLS
+    (fit_plane above) by an origin-distance-dependent bias the rebuild
+    deliberately removes (documented in loc_lib_tpu/utils/mathx.py)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) < 3:
+        return None, False
+    c = pts.mean(axis=0)
+    d = pts - c
+    _, _, vt = np.linalg.svd(d)
+    n = vt[-1]
+    coeffs = np.concatenate([n, [-n @ c]])
+    coeffs = coeffs / np.linalg.norm(coeffs)
+    resid = pts @ coeffs[:3] + coeffs[3]
+    return coeffs, bool(np.all(resid**2 <= eps))
+
+
 def fit_line(pts, eps=0.2):
     """math::FitLine (math_utils.h:138-163)."""
     pts = np.asarray(pts, dtype=np.float64)
@@ -91,7 +110,7 @@ def icp_p2plane_h_b(src, tgt_pts_fn, R, t, max_plane_distance=0.1):
         nn = tgt_pts_fn(qs)
         if nn is None or len(nn) <= 3:
             continue
-        coeffs, ok = fit_plane(nn)
+        coeffs, ok = fit_plane_centered(nn)
         if not ok:
             continue
         eff += 1

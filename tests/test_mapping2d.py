@@ -1,0 +1,68 @@
+"""2D stack tests: occupancy/likelihood-field kernels and the Mapping2D
+pipeline (mirrors the reference's 2D path, mapping_2d.cpp + likelihood_filed
+.cpp, verified on a synthetic room)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from loc_lib_tpu.models import grid2d
+from loc_lib_tpu.pipeline import mapping2d
+from loc_lib_tpu.io import synthetic
+
+
+GOPTS = grid2d.Grid2dOptions(image_size=500, resolution=10.0, ray_steps=128,
+                             max_beam_range=14.0)
+
+
+def test_occupancy_and_field():
+    """Endpoints must raise counts, traversed cells lower them, and the
+    likelihood field must be 0 at occupied cells and grow with distance."""
+    g = grid2d.empty_grid(GOPTS)
+    pts = jnp.asarray([[5.0, 0.0], [0.0, 5.0]], jnp.float32)
+    valid = jnp.ones((2,), bool)
+    g = grid2d.add_scan(g, GOPTS, pts, valid, jnp.zeros(2))
+    counts = np.asarray(g.counts)
+    c = int(GOPTS.center)
+    px = int(round(5.0 * GOPTS.resolution + GOPTS.center))
+    assert counts[c, px] > GOPTS.unknown          # endpoint occupied
+    assert counts[c, c + 10] < GOPTS.unknown      # ray cell freed
+    field = np.asarray(grid2d.likelihood_field(g, GOPTS))
+    assert field[c, px] == 0.0
+    assert field[c, px - 5] == pytest.approx(5.0, abs=0.01)
+    assert field[c, c] == GOPTS.field_radius      # far from any wall
+
+
+def test_align_2d_recovers_offset():
+    """SE(2) GN on the field must recover a known offset."""
+    world = synthetic.make_world_2d(seed=1)
+    xy, valid = synthetic.render_scan_2d(world, 0.0, np.zeros(2), seed=0)
+    g = grid2d.empty_grid(GOPTS)
+    g = grid2d.add_scan(g, GOPTS, jnp.asarray(xy), jnp.asarray(valid), jnp.zeros(2))
+    field = grid2d.likelihood_field(g, GOPTS)
+
+    true_th, true_t = 0.05, np.array([0.3, -0.2], np.float32)
+    xy2, valid2 = synthetic.render_scan_2d(world, true_th, true_t, seed=7)
+    res = grid2d.align_gauss_newton(field, GOPTS, jnp.asarray(xy2),
+                                    jnp.asarray(valid2), 0.0, jnp.zeros(2))
+    assert abs(float(res.theta) - true_th) < 0.02
+    np.testing.assert_allclose(np.asarray(res.t), true_t, atol=0.08)
+    assert float(res.inlier_ratio) > 0.5
+
+
+def test_mapping2d_pipeline():
+    """Short 2D SLAM run: drift must stay bounded and submaps must expand."""
+    world = synthetic.make_world_2d(seed=2)
+    opts = mapping2d.Mapping2dOptions(
+        grid=GOPTS, keyframe_dist=0.2, max_keyframes_in_submap=6)
+    m = mapping2d.Mapping2D(opts)
+
+    n = 12
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        th_gt = 0.04 * i
+        t_gt = np.array([0.25 * i, 0.1 * i], np.float32)
+        xy, valid = synthetic.render_scan_2d(world, th_gt, t_gt, seed=i)
+        th, t = m.process_scan(xy, valid)
+        err = np.linalg.norm(t - t_gt)
+        assert err < 0.25, f"frame {i}: {err:.3f} m 2D drift"
+    assert m.frame_count == n
