@@ -147,9 +147,15 @@ def render_scan_2d(world2d: np.ndarray, theta: float, t: np.ndarray,
 
 def ideal_imu(traj: Trajectory, rate_hz: float = 100.0,
               gravity: float = 9.81, gyro_noise: float = 1e-4,
-              acce_noise: float = 1e-3, seed: int = 1):
+              acce_noise: float = 1e-3, seed: int = 1,
+              static_secs: float = 1.5):
     """IMU samples consistent with the trajectory (finite differences), in
-    the body frame, gravity-reactive like a real accelerometer."""
+    the body frame, gravity-reactive like a real accelerometer.
+
+    `static_secs` of stationary samples are prepended BEFORE the first scan
+    stamp — a real log starts recording while the platform is still, which
+    is what the reference's StaticIMUInit requires (>=1 s stationary window,
+    static_imu_init.cpp:63-104) before the LIO pipeline will run."""
     rng = np.random.default_rng(seed)
     t0, t1 = traj.stamps[0], traj.stamps[-1]
     stamps = np.arange(t0, t1, 1.0 / rate_hz)
@@ -175,4 +181,13 @@ def ideal_imu(traj: Trajectory, rate_hz: float = 100.0,
     acce = np.stack([ax, ay, az], axis=1) + rng.normal(0, acce_noise, (len(stamps), 3))
     gyro = np.stack([np.zeros_like(omega), np.zeros_like(omega), omega], axis=1) \
         + rng.normal(0, gyro_noise, (len(stamps), 3))
+    if static_secs > 0.0:
+        pre = np.arange(t0 - static_secs, t0 - 1e-9, 1.0 / rate_hz)
+        # yaw(t0)=0 in make_trajectory, so body==world at rest: a = -g_w.
+        pre_acce = np.tile([0.0, 0.0, gravity], (len(pre), 1)) \
+            + rng.normal(0, acce_noise, (len(pre), 3))
+        pre_gyro = rng.normal(0, gyro_noise, (len(pre), 3))
+        stamps = np.concatenate([pre, stamps])
+        gyro = np.concatenate([pre_gyro, gyro])
+        acce = np.concatenate([pre_acce, acce])
     return stamps, gyro.astype(np.float32), acce.astype(np.float32)
