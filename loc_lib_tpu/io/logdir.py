@@ -78,15 +78,22 @@ def load_log(directory: str) -> SensorLog:
 
 def make_demo_log(num_frames: int = 30, capacity: int = 8192,
                   with_imu: bool = True, seed: int = 0,
-                  dt: float = 0.1, speed: float = 2.0) -> SensorLog:
+                  dt: float = 0.1, speed: float = 2.0,
+                  yaw_rate: float = 0.15,
+                  world_points: int = 120000,
+                  extent: float = 80.0, max_range: float = 70.0) -> SensorLog:
     """Synthetic replacement for the reference demo rosbag: world render per
-    trajectory pose + consistent IMU (io/synthetic.py)."""
-    world = synthetic.make_world(num_points=120000, extent=80.0, seed=seed)
-    traj = synthetic.make_trajectory(num_frames=num_frames, dt=dt, speed=speed)
+    trajectory pose + consistent IMU (io/synthetic.py). A larger `yaw_rate`
+    closes the trajectory into a circle (loop-closure demos); shrink
+    `extent`/`max_range` along with `capacity` to keep the sampled scans
+    dense enough for matching."""
+    world = synthetic.make_world(num_points=world_points, extent=extent, seed=seed)
+    traj = synthetic.make_trajectory(num_frames=num_frames, dt=dt, speed=speed,
+                                     yaw_rate=yaw_rate)
     xyz = np.zeros((num_frames, capacity, 3), np.float32)
     mask = np.zeros((num_frames, capacity), bool)
     for k in range(num_frames):
-        pc = synthetic.render_scan(world, traj.R[k], traj.t[k], max_range=70.0,
+        pc = synthetic.render_scan(world, traj.R[k], traj.t[k], max_range=max_range,
                                    max_points=capacity, noise=0.01, seed=k,
                                    capacity=capacity)
         xyz[k] = np.asarray(pc.xyz)

@@ -405,6 +405,29 @@ class Lio:
         if bool(out.is_keyframe):
             self.kf_poses.append(T)
 
+    def apply_correction(self, dR: np.ndarray, dt: np.ndarray) -> None:
+        """Left-multiply every live world pose by the SE(3) correction
+        T_corr = (dR, dt) — used by the pose-graph back-end to snap the
+        front-end onto the optimized trajectory (the 3D analog of the 2D
+        write-back, loop_closing.cpp:247-255). The ESKF nominal (p, v, R)
+        rotates with the world poses; gravity is untouched — loop
+        corrections of a gravity-aligned map are yaw-dominant, and the
+        filter re-estimates any residual tilt within a few updates.
+        """
+        dR = jnp.asarray(dR, jnp.float32)
+        dt = jnp.asarray(dt, jnp.float32)
+        s = self.state
+        fix = lambda R, t: lie.se3_compose(dR, dt, R, t)
+        R, t = fix(s.R, s.t)
+        last_R, last_t = fix(s.last_R, s.last_t)
+        lk_R, lk_t = fix(s.last_kf_R, s.last_kf_t)
+        kf_R, kf_t = jax.vmap(fix)(s.kf_R, s.kf_t)
+        e = s.eskf
+        e = e._replace(R=dR @ e.R, p=e.p @ dR.T + dt, v=e.v @ dR.T)
+        self.state = s._replace(R=R, t=t, last_R=last_R, last_t=last_t,
+                                kf_R=kf_R, kf_t=kf_t,
+                                last_kf_R=lk_R, last_kf_t=lk_t, eskf=e)
+
     # -- map export (GetLocalMap / GetGlobalMap, lio.cpp:550-614) ------------
     def local_map(self) -> np.ndarray:
         s = self.state

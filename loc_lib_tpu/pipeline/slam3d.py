@@ -1,0 +1,260 @@
+"""Full 3D SLAM: LIO front-end + ScanContext loop closure + SE(3) pose graph.
+
+The reference has loop closure ONLY in its 2D stack (LoopClosing over
+submaps, /root/reference/LocUtils/src/mapping_2d/loop_closing.cpp:39-255);
+its 3D ScanContext retrieval is an empty stub (model/loop_closure/
+scan_context.cpp:190-203) and "3D has none" of a pose graph (SURVEY.md
+section 2). This module is the 3D generalization SURVEY.md section 3.5
+calls for: keyframe LIO odometry (pipeline/lio.py), ScanContext descriptor
+retrieval over keyframes (graph/scan_context.py), ICP re-registration of
+loop pairs (models/icp.py), and two-phase chi2-gated SE(3) pose-graph
+optimization (graph/pose_graph.py) with pose write-back — the same
+detect / re-register / optimize / validate / write-back structure as the
+reference's 2D path (loop_closing.cpp:52-85, 120-158, 160-255), device-side
+and batched.
+
+Host/device split: the keyframe archive (every keyframe cloud + pose) lives
+in host numpy — it grows without bound and is touched once per loop event —
+while each loop registration and each pose-graph solve is one jitted
+fixed-shape device program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import pose_graph as pg, scan_context as sc
+from ..models import icp
+from ..ops.pointcloud import PointCloud
+from ..utils import lie
+from . import lio as lio_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopOptions:
+    """Loop-closure gates, mirroring the reference's 2D LoopClosing knobs
+    (loop_closing.cpp:52-85) lifted to 3D keyframes."""
+
+    min_keyframe_gap: int = 15        # submap_gap_ analog: skip recent kfs
+    max_candidate_dist: float = 25.0  # odometry-distance gate (cpp:70: 15 m)
+    min_effective_pts: int = 200      # registration acceptance
+    max_chi2_per_pt: float = 0.05     # mean squared residual acceptance (m^2)
+    loop_info_scale: float = 1e2      # loop edge information
+    odom_info_scale: float = 1e4      # sequential edge info (cpp:192-199)
+    optimize_every: int = 4           # run PGO after this many new loops
+    max_loops: int = 512              # padded loop-edge capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class Slam3dOptions:
+    lio: lio_mod.LioOptions = lio_mod.LioOptions()
+    sc: sc.ScanContextOptions = sc.ScanContextOptions(exclude_recent=15)
+    pgo: pg.PgoOptions = pg.PgoOptions()
+    loop: LoopOptions = LoopOptions()
+    # Wide-basin ICP for loop re-registration (coarser gates than odometry:
+    # the initial guess comes from drifted poses, cf. the reference's
+    # multi-resolution wide-basin matcher, multi_resolution_likelihood_field).
+    loop_icp: icp.IcpOptions = icp.IcpOptions(
+        method="p2plane", max_iteration=30, max_plane_distance=0.5,
+        grid_leaf=2.0, bucket_size=8)
+    sc_capacity: int = 4096           # max keyframes in the descriptor DB
+
+
+class LoopEdge(NamedTuple):
+    i: int                 # older keyframe index
+    j: int                 # newer keyframe index
+    R: np.ndarray          # measured R_i_j
+    t: np.ndarray          # measured t_i_j
+    chi2_per_pt: float
+    num_effective: int
+
+
+class Slam3d:
+    """Host driver owning the LIO engine, the keyframe archive, the
+    ScanContext database, and the pose graph."""
+
+    def __init__(self, opts: Slam3dOptions = Slam3dOptions(),
+                 R_il=None, t_il=None):
+        self.opts = opts
+        self.lio = lio_mod.Lio(opts.lio, R_il=R_il, t_il=t_il)
+        self.scdb = sc.ScanContextDb(capacity=opts.sc_capacity, opts=opts.sc)
+        # keyframe archive (host): lidar-frame clouds + world poses
+        self.kf_xyz: list[np.ndarray] = []     # (C, 3) each
+        self.kf_mask: list[np.ndarray] = []    # (C,) each
+        self.kf_R: list[np.ndarray] = []       # (3, 3) each, world pose
+        self.kf_t: list[np.ndarray] = []       # (3,) each
+        self.kf_frame: list[int] = []          # source frame index
+        self.loops: list[LoopEdge] = []
+        self.loop_inliers: Optional[np.ndarray] = None
+        self._loops_since_opt = 0
+        self._frame = 0
+
+    # -- delegation to the LIO front-end ------------------------------------
+    @property
+    def imu_inited(self) -> bool:
+        return self.lio.imu_inited
+
+    def init_imu(self, gyro, acce, timestamp) -> bool:
+        return self.lio.init_imu(gyro, acce, timestamp)
+
+    def add_measure(self, scan: PointCloud, imu_gyro, imu_acce, imu_stamp,
+                    imu_valid):
+        out = self.lio.add_measure(scan, imu_gyro, imu_acce, imu_stamp,
+                                   imu_valid)
+        self._after_step(scan, out)
+        return out
+
+    def add_cloud(self, scan: PointCloud):
+        out = self.lio.add_cloud(scan)
+        self._after_step(scan, out)
+        return out
+
+    # -- loop closure --------------------------------------------------------
+    def _after_step(self, scan: PointCloud, out) -> None:
+        self._frame += 1
+        if not bool(out.is_keyframe):
+            return
+        self.kf_xyz.append(np.asarray(scan.xyz))
+        self.kf_mask.append(np.asarray(scan.mask))
+        self.kf_R.append(np.asarray(out.R))
+        self.kf_t.append(np.asarray(out.t))
+        self.kf_frame.append(self._frame - 1)
+        kf_id = len(self.kf_R) - 1
+        if self.scdb.count < self.opts.sc_capacity:
+            self.scdb.add(scan)
+        cand = self._detect(scan, kf_id)
+        if cand is not None and self._register_loop(cand, kf_id, scan):
+            self._loops_since_opt += 1
+            if self._loops_since_opt >= self.opts.loop.optimize_every:
+                self.optimize()
+
+    def _detect(self, scan: PointCloud, kf_id: int) -> Optional[int]:
+        """ScanContext retrieval + the reference's odometry-distance gate
+        (loop_closing.cpp:52-85)."""
+        lo = self.opts.loop
+        if kf_id < lo.min_keyframe_gap:
+            return None
+        res = self.scdb.query(scan)
+        if not bool(res.found):
+            return None
+        cand = int(res.index)
+        if kf_id - cand < lo.min_keyframe_gap:
+            return None
+        d = np.linalg.norm(self.kf_t[kf_id] - self.kf_t[cand])
+        if d > lo.max_candidate_dist:
+            return None
+        return cand
+
+    def _register_loop(self, cand: int, kf_id: int, scan: PointCloud) -> bool:
+        """Re-register the new keyframe scan against the candidate keyframe
+        cloud (the 3D analog of MatchInHistorySubmaps,
+        loop_closing.cpp:120-158). Measurement: T_cand_cur on acceptance."""
+        lo = self.opts.loop
+        # target = candidate cloud in the candidate's lidar frame
+        tgt = PointCloud(xyz=jnp.asarray(self.kf_xyz[cand]),
+                         mask=jnp.asarray(self.kf_mask[cand]))
+        target = icp.set_target(tgt, self.opts.loop_icp)
+        # initial guess from current (drifted) pose estimates
+        Rc, tc = self.kf_R[cand], self.kf_t[cand]
+        Rn, tn = self.kf_R[kf_id], self.kf_t[kf_id]
+        R0 = Rc.T @ Rn
+        t0 = Rc.T @ (tn - tc)
+        res = icp.scan_match(target, self.opts.loop_icp, scan,
+                             jnp.asarray(R0, jnp.float32),
+                             jnp.asarray(t0, jnp.float32))
+        n_eff = int(res.num_effective)
+        chi2pp = float(res.chi2) / max(n_eff, 1)
+        if not bool(res.converged) or n_eff < lo.min_effective_pts \
+                or chi2pp > lo.max_chi2_per_pt:
+            return False
+        self.loops.append(LoopEdge(i=cand, j=kf_id, R=np.asarray(res.R),
+                                   t=np.asarray(res.t), chi2_per_pt=chi2pp,
+                                   num_effective=n_eff))
+        return True
+
+    # -- pose-graph optimization ---------------------------------------------
+    def _build_edges(self) -> pg.Se3Edges:
+        lo = self.opts.loop
+        nodes_R = jnp.asarray(np.stack(self.kf_R), jnp.float32)
+        nodes_t = jnp.asarray(np.stack(self.kf_t), jnp.float32)
+        edges = pg.odometry_edges(nodes_R, nodes_t,
+                                  info_scale=lo.odom_info_scale)
+        if self.loops:
+            li = jnp.asarray([l.i for l in self.loops], jnp.int32)
+            lj = jnp.asarray([l.j for l in self.loops], jnp.int32)
+            lR = jnp.asarray(np.stack([l.R for l in self.loops]), jnp.float32)
+            lt = jnp.asarray(np.stack([l.t for l in self.loops]), jnp.float32)
+            info = jnp.broadcast_to(
+                jnp.eye(6, dtype=jnp.float32) * lo.loop_info_scale,
+                (len(self.loops), 6, 6))
+            loop_edges = pg.Se3Edges(
+                i=li, j=lj, R=lR, t=lt, info=info,
+                is_loop=jnp.ones((len(self.loops),), bool),
+                valid=jnp.ones((len(self.loops),), bool))
+            edges = pg.concat_edges(edges, loop_edges)
+        return edges
+
+    def optimize(self) -> bool:
+        """Two-phase chi2-gated solve + pose write-back + front-end
+        correction (the 3D Optimize, cf. loop_closing.cpp:160-255)."""
+        if len(self.kf_R) < 2 or not self.loops:
+            self._loops_since_opt = 0
+            return False
+        nodes_R = jnp.asarray(np.stack(self.kf_R), jnp.float32)
+        nodes_t = jnp.asarray(np.stack(self.kf_t), jnp.float32)
+        edges = self._build_edges()
+        R_opt, t_opt, inliers = pg.optimize_two_phase(
+            nodes_R, nodes_t, edges, self.opts.pgo)
+        R_opt, t_opt = np.asarray(R_opt), np.asarray(t_opt)
+
+        # Correct the live front-end by the last keyframe's update
+        # (UpdateFramePoseWorld analog, submap.cpp:46-50).
+        k = len(self.kf_R) - 1
+        dR = R_opt[k] @ self.kf_R[k].T
+        dt = t_opt[k] - dR @ self.kf_t[k]
+        self.lio.apply_correction(dR, dt)
+        for i in range(len(self.kf_R)):
+            self.kf_R[i] = R_opt[i]
+            self.kf_t[i] = t_opt[i]
+        n_loop_edges = len(self.loops)
+        self.loop_inliers = np.asarray(inliers)[-n_loop_edges:]
+        self._loops_since_opt = 0
+        return True
+
+    # -- exports ---------------------------------------------------------------
+    def keyframe_poses(self) -> np.ndarray:
+        if not self.kf_R:
+            return np.zeros((0, 4, 4), np.float32)
+        T = np.tile(np.eye(4, dtype=np.float32), (len(self.kf_R), 1, 1))
+        T[:, :3, :3] = np.stack(self.kf_R)
+        T[:, :3, 3] = np.stack(self.kf_t)
+        return T
+
+    def assemble_global_map(self, voxel_size: float = 0.3,
+                            max_points_per_kf: int = 0) -> np.ndarray:
+        """Re-assemble the map from keyframe clouds at their OPTIMIZED poses
+        (the reference re-loads keyframe PCDs and transforms by
+        estimated_poses_, lio.cpp:550-580)."""
+        pts = []
+        for xyz, mask, R, t in zip(self.kf_xyz, self.kf_mask,
+                                   self.kf_R, self.kf_t):
+            p = xyz[mask]
+            if max_points_per_kf and len(p) > max_points_per_kf:
+                p = p[:max_points_per_kf]
+            pts.append(p @ R.T + t)
+        if not pts:
+            return np.zeros((0, 3), np.float32)
+        allp = np.concatenate(pts).astype(np.float32)
+        if voxel_size > 0:
+            from ..ops import voxel as voxel_ops
+            pc = PointCloud(xyz=jnp.asarray(allp),
+                            mask=jnp.ones((len(allp),), bool))
+            origin = jnp.asarray(allp.mean(axis=0))
+            ds = voxel_ops.voxel_downsample(pc, voxel_size, origin=origin)
+            return np.asarray(ds.xyz)[np.asarray(ds.mask)]
+        return allp
