@@ -50,7 +50,22 @@ class PgoOptions:
     # wider Cauchy) keeps enough gradient to close multi-meter drift. The
     # chi2 gate below still rejects outliers.
     kernel_delta: float = 30.0
-    loop_chi2_th: float = 30.0      # chi2 gate for loop edges (cpp:222)
+    # Loop-edge validation gates, applied to the POST-phase-1 tangent-space
+    # residual of each loop edge. The reference gates loop edges on
+    # chi2 < delta with info = Identity (loop_closing.cpp:204,221 — i.e. on
+    # the raw residual magnitude, independent of the odometry information);
+    # splitting translation and rotation keeps that semantics while staying
+    # unit-interpretable whatever information the loop edges carry.
+    loop_gate_trans: float = 1.0    # [m]   max loop residual translation
+    loop_gate_rot: float = 0.35     # [rad] max loop residual rotation
+    # PRE-optimization plausibility gates: a loop edge whose residual at the
+    # unoptimized poses exceeds the largest drift the odometry could have
+    # accumulated is wrong, and must be excluded BEFORE the solve — a robust
+    # kernel with enough iterations will otherwise bend the whole trajectory
+    # to satisfy it (the reference avoids that only because Cauchy delta=1
+    # with chi2~1e7 zeroes such edges' weight, loop_closing.cpp:204-207).
+    loop_pregate_trans: float = 10.0  # [m]
+    loop_pregate_rot: float = 1.0     # [rad]
     second_phase_iterations: int = 5
     damping: float = 1e-6           # LM-style diagonal damping for stability
     gauge_weight: float = 1e8       # prior weight pinning node 0
@@ -110,6 +125,14 @@ def edge_chi2(nodes_R, nodes_t, edges: Se3Edges) -> jax.Array:
     return jnp.einsum("ei,eij,ej->e", r, edges.info, r)
 
 
+def edge_residual_norms(nodes_R, nodes_t, edges: Se3Edges):
+    """Per-edge tangent residual split into (rot_norm [rad], trans_norm [m])."""
+    Ri, ti = nodes_R[edges.i], nodes_t[edges.i]
+    Rj, tj = nodes_R[edges.j], nodes_t[edges.j]
+    r, _, _ = _linearize(Ri, ti, Rj, tj, edges.R, edges.t)
+    return jnp.linalg.norm(r[:, :3], axis=-1), jnp.linalg.norm(r[:, 3:], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("opts", "num_nodes"))
 def optimize(nodes_R, nodes_t, edges: Se3Edges, opts: PgoOptions = PgoOptions(),
              num_nodes: Optional[int] = None):
@@ -161,12 +184,20 @@ def optimize(nodes_R, nodes_t, edges: Se3Edges, opts: PgoOptions = PgoOptions(),
 def optimize_two_phase(nodes_R, nodes_t, edges: Se3Edges,
                        opts: PgoOptions = PgoOptions()):
     """The reference's validate-then-reoptimize scheme
-    (loop_closing.cpp:219-246): optimize, kill loop edges with
-    chi2 > loop_chi2_th, optimize again without them.
+    (loop_closing.cpp:219-246): optimize, kill loop edges whose post-opt
+    tangent residual exceeds the (trans, rot) gates, optimize again
+    without them.
 
     Returns (R, t, loop_edge_inlier_mask)."""
-    R, t, chi2, _ = optimize(nodes_R, nodes_t, edges, opts)
-    inlier = (~edges.is_loop) | (chi2 <= opts.loop_chi2_th)
+    rot0, trans0 = edge_residual_norms(nodes_R, nodes_t, edges)
+    plausible = (~edges.is_loop) | ((trans0 <= opts.loop_pregate_trans)
+                                    & (rot0 <= opts.loop_pregate_rot))
+    edges1 = edges._replace(valid=edges.valid & plausible)
+    R, t, chi2, _ = optimize(nodes_R, nodes_t, edges1, opts)
+    rot_n, trans_n = edge_residual_norms(R, t, edges)
+    inlier = plausible & ((~edges.is_loop)
+                          | ((trans_n <= opts.loop_gate_trans)
+                             & (rot_n <= opts.loop_gate_rot)))
     edges2 = edges._replace(valid=edges.valid & inlier)
     opts2 = dataclasses.replace(opts, max_iterations=opts.second_phase_iterations)
     R, t, _, _ = optimize(R, t, edges2, opts2)

@@ -77,6 +77,13 @@ def edge_chi2(theta, t, edges: Se2Edges) -> jax.Array:
     return jnp.einsum("ei,eij,ej->e", r, edges.info, r)
 
 
+def edge_residual_norms(theta, t, edges: Se2Edges):
+    """Per-edge residual split into (rot_norm [rad], trans_norm [m])."""
+    r, _, _ = _linearize(theta[edges.i], t[edges.i], theta[edges.j], t[edges.j],
+                         edges.theta, edges.t)
+    return jnp.abs(r[:, 2]), jnp.linalg.norm(r[:, :2], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("opts", "num_nodes"))
 def optimize(theta, t, edges: Se2Edges, opts: PgoOptions = PgoOptions(),
              num_nodes: Optional[int] = None):
@@ -125,10 +132,19 @@ def optimize(theta, t, edges: Se2Edges, opts: PgoOptions = PgoOptions(),
 
 def optimize_two_phase(theta, t, edges: Se2Edges,
                        opts: PgoOptions = PgoOptions()):
-    """Two-phase optimize + chi2 loop gating (loop_closing.cpp:219-246).
+    """Two-phase optimize + residual-gated loop validation
+    (loop_closing.cpp:219-246; the reference gates on chi2 with info = I,
+    i.e. on raw residual magnitude — see PgoOptions.loop_gate_*).
     Returns (theta, t, loop_inlier_mask_over_all_edges)."""
-    th, tt, chi2, _ = optimize(theta, t, edges, opts)
-    inlier = (~edges.is_loop) | (chi2 <= opts.loop_chi2_th)
+    rot0, trans0 = edge_residual_norms(theta, t, edges)
+    plausible = (~edges.is_loop) | ((trans0 <= opts.loop_pregate_trans)
+                                    & (rot0 <= opts.loop_pregate_rot))
+    edges1 = edges._replace(valid=edges.valid & plausible)
+    th, tt, chi2, _ = optimize(theta, t, edges1, opts)
+    rot_n, trans_n = edge_residual_norms(th, tt, edges)
+    inlier = plausible & ((~edges.is_loop)
+                          | ((trans_n <= opts.loop_gate_trans)
+                             & (rot_n <= opts.loop_gate_rot)))
     edges2 = edges._replace(valid=edges.valid & inlier)
     opts2 = dataclasses.replace(opts, max_iterations=opts.second_phase_iterations)
     th, tt, _, _ = optimize(th, tt, edges2, opts2)

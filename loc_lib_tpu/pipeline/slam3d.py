@@ -44,7 +44,13 @@ class LoopOptions:
     max_candidate_dist: float = 25.0  # odometry-distance gate (cpp:70: 15 m)
     min_effective_pts: int = 200      # registration acceptance
     max_chi2_per_pt: float = 0.05     # mean squared residual acceptance (m^2)
-    loop_info_scale: float = 1e2      # loop edge information
+    # Loop edges carry odometry-grade information: a loop measurement is an
+    # ICP registration of the same quality as the odometry chain, and a
+    # 100x-weaker loop edge leaves ~99% of the drift uncorrected at the
+    # optimum. (The reference sets loop info = I against odom info = 1e4*I,
+    # loop_closing.cpp:185,204 — which makes its 2D PGO nearly cosmetic; bad
+    # edges are handled by the residual gate, not by under-weighting.)
+    loop_info_scale: float = 1e4      # loop edge information
     odom_info_scale: float = 1e4      # sequential edge info (cpp:192-199)
     optimize_every: int = 4           # run PGO after this many new loops
     max_loops: int = 512              # padded loop-edge capacity
@@ -169,8 +175,14 @@ class Slam3d:
                              jnp.asarray(t0, jnp.float32))
         n_eff = int(res.num_effective)
         chi2pp = float(res.chi2) / max(n_eff, 1)
-        if not bool(res.converged) or n_eff < lo.min_effective_pts \
-                or chi2pp > lo.max_chi2_per_pt:
+        # Acceptance is quality-gated (effective-point count + mean residual),
+        # NOT convergence-flag-gated: a wide-basin loop registration may use
+        # its full iteration budget without reaching |dx|<eps while still
+        # being an excellent fit, and the reference's own loop acceptance is
+        # inlier-based for the same reason (inliers>100 && ratio>0.4,
+        # multi_resolution_likelihood_field.cpp:163-177). Bad edges are
+        # additionally chi2-gated inside the pose graph (optimize_two_phase).
+        if n_eff < lo.min_effective_pts or chi2pp > lo.max_chi2_per_pt:
             return False
         self.loops.append(LoopEdge(i=cand, j=kf_id, R=np.asarray(res.R),
                                    t=np.asarray(res.t), chi2_per_pt=chi2pp,
