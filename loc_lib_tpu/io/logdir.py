@@ -41,6 +41,24 @@ class SensorLog:
         return len(self.scan_stamps)
 
     def measures(self, imu_capacity: int = 64):
+        """Per-scan measure groups; the IMU grouping runs in the native C++
+        runtime when available (io/native.py), the numpy path otherwise —
+        both pinned to identical packets by tests/test_native.py."""
+        from . import native
+
+        if self.gnss is None and self.imu is not None and native.available():
+            st, gy, ac, va = native.sync_measures_batch(
+                np.asarray(self.scan_stamps, np.float64), self.imu.stamps,
+                self.imu.gyro, self.imu.acce, imu_capacity)
+
+            def gen():
+                for k, t_scan in enumerate(self.scan_stamps):
+                    yield replay.MeasureGroup(
+                        scan_index=k, scan_stamp=float(t_scan),
+                        imu_stamp=st[k], imu_gyro=gy[k], imu_acce=ac[k],
+                        imu_valid=va[k])
+
+            return gen()
         return replay.sync_measures(self.scan_stamps, self.imu, self.gnss,
                                     imu_capacity=imu_capacity)
 

@@ -95,6 +95,7 @@ def sync_measures(
         if gnss is not None and len(gnss.stamps):
             lla = _interp_row(gnss.stamps, gnss.lla, t_scan)
             g = np.array([lla[0], lla[1], lla[2], t_scan], np.float64)
+        prev_t = t_scan  # next packet starts after this scan
         yield MeasureGroup(scan_index=k, scan_stamp=float(t_scan),
                            imu_stamp=stamp, imu_gyro=gyro, imu_acce=acce,
                            imu_valid=valid, gnss=g)

@@ -17,8 +17,16 @@ import jax.numpy as jnp
 
 
 def save_kitti(path: str, poses: np.ndarray) -> None:
-    """poses: (T, 4, 4) -> KITTI rows (3x4 row-major, save_pose.cpp:70-87)."""
+    """poses: (T, 4, 4) -> KITTI rows (3x4 row-major, save_pose.cpp:70-87).
+    Formats in the native runtime when available (io/native.py)."""
     poses = np.asarray(poses)
+    from . import native
+
+    raw = native.format_kitti(poses) if len(poses) else None
+    if raw is not None:
+        with open(path, "wb") as f:
+            f.write(raw)
+        return
     rows = poses[:, :3, :].reshape(len(poses), 12)
     np.savetxt(path, rows, fmt="%.9g")
 
