@@ -13,7 +13,9 @@
 //     int32 n_target, int32 n_source
 //     target xyz  [n_target*3]
 //     source xyz  [n_source*3]
-//   Prints: "<build_ms> <match_ms>" (kd-tree build, mean per-scan match).
+//     optional initial pose: R row-major [9], t [3] (identity if absent)
+//   Prints: "<build_ms> <match_ms>" (kd-tree build, mean per-scan match);
+//   the converged pose (R row-major + t) goes to stderr for parity checks.
 
 #include <algorithm>
 #include <chrono>
@@ -229,6 +231,17 @@ int main(int argc, char** argv) {
   std::vector<V3> target(nt), source(ns);
   f.read((char*)target.data(), (std::streamsize)nt * 12);
   f.read((char*)source.data(), (std::streamsize)ns * 12);
+  M3 R_init;
+  V3 t_init(0, 0, 0);
+  {
+    float pose[12];
+    f.read((char*)pose, 48);
+    if (f.gcount() == 48) {
+      for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 3; j++) R_init.m[i][j] = pose[3 * i + j];
+      t_init = V3(pose[9], pose[10], pose[11]);
+    }
+  }
   int repeats = std::atoi(argv[2]);
 
   auto t0 = std::chrono::steady_clock::now();
@@ -246,8 +259,8 @@ int main(int argc, char** argv) {
   M3 R_out;
   V3 t_out;
   for (int rep = 0; rep < repeats; rep++) {
-    M3 R;
-    V3 t(0, 0, 0);
+    M3 R = R_init;
+    V3 t = t_init;
     auto m0 = std::chrono::steady_clock::now();
     std::vector<int> nn;
     for (int iter = 0; iter < kMaxIter; iter++) {
@@ -301,7 +314,12 @@ int main(int argc, char** argv) {
     R_out = R;
     t_out = t;
   }
-  std::fprintf(stderr, "pose t = %.4f %.4f %.4f\n", t_out.x, t_out.y, t_out.z);
+  std::fprintf(stderr,
+               "pose R = %.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f "
+               "t = %.6f %.6f %.6f\n",
+               R_out.m[0][0], R_out.m[0][1], R_out.m[0][2], R_out.m[1][0],
+               R_out.m[1][1], R_out.m[1][2], R_out.m[2][0], R_out.m[2][1],
+               R_out.m[2][2], t_out.x, t_out.y, t_out.z);
   std::printf("%.3f %.3f\n", build_ms, total_ms / repeats);
   return 0;
 }

@@ -28,21 +28,33 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.pointcloud import PointCloud
 from ..ops import voxel
+from ..ops import pallas_kernels
 from ..utils import lie, mathx
 
 
 @dataclasses.dataclass(frozen=True)
 class IcpOptions:
-    """Mirror of IcpOptions (icp_registration.hpp:22-39)."""
+    """Mirror of IcpOptions (icp_registration.hpp:22-39).
 
-    method: str = "p2plane"          # p2p | p2line | p2plane
+    method="p2plane_vox" is the TPU-first production P2Plane path: target-side
+    geometry (a plane per voxel, neighbor-merged Gaussians, VGICP-style) is
+    precomputed ONCE at set_target, so each GN iteration is one O(1) dense
+    voxel lookup + plane evaluation per point, fused into a single Pallas
+    kernel — instead of re-running 5-NN search + eigen plane fit per point per
+    iteration (what the reference does per kd-tree probe,
+    icp_registration.cpp:161-213, and what method="p2plane" replicates for
+    oracle parity). The reference's own NDT amortizes target geometry exactly
+    this way (ndt_registration.cpp:87-148 build vs :262-372 align).
+    """
+
+    method: str = "p2plane"          # p2p | p2line | p2plane | p2plane_vox
     max_iteration: int = 20
     max_nn_distance: float = 1.0     # SQUARED-distance gate for P2P (cpp:75)
     max_plane_distance: float = 0.1
@@ -53,17 +65,83 @@ class IcpOptions:
     # and how many candidate points to keep per cell.
     grid_leaf: float = 1.0
     bucket_size: int = 8
+    # p2plane_vox: plane-quality gate (max variance along the normal, m^2 —
+    # the analog of FitPlane's per-point resid^2 <= 1e-2, math_utils.h:128-133)
+    # and minimum merged point count (the reference requires 5 NN, cpp:171).
+    plane_fit_eps: float = 1e-2
+    plane_min_pts: int = 5
+    # static dims of the O(1) dense voxel index window (voxels per axis)
+    dense_dims: tuple = (256, 256, 64)
 
 
 class IcpTarget(NamedTuple):
     grid: voxel.HashGrid
+    # p2plane_vox extras (None for other methods). `packed` rows are
+    # [n(3), d, mu(3), valid] so each candidate voxel costs ONE 32-byte row
+    # gather per query; plane/plane_mu/plane_valid are views kept for tests.
+    packed: Optional[jax.Array] = None       # (V, 8)
+    plane: Optional[jax.Array] = None        # (V, 4) [n, d] per grid slot
+    plane_mu: Optional[jax.Array] = None     # (V, 3) merged centroid
+    plane_valid: Optional[jax.Array] = None  # (V,) bool
+    dense: Optional[voxel.DenseIndex] = None
+
+
+def _build_plane_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
+                       dense: voxel.DenseIndex):
+    """Per-voxel plane from neighbor-merged Gaussian moments (VGICP-style).
+
+    One-time target-side cost: voxel first/second moments by segment reduce,
+    then each voxel merges the count-weighted moments of itself + its 6 face
+    neighbors (so planes stay continuous across voxel borders and reach the
+    reference's >=5-point support even in sparse cells), normal = smallest
+    eigenvector. Table rows align with grid.voxel_keys slots (identical keys
+    -> identical segment order; asserted by test_icp_vox)."""
+    stats = voxel.voxel_stats(pc, opts.grid_leaf, origin=grid.origin,
+                              mode="floor")
+    coords = voxel.key_to_coords(stats.keys)                    # (V, 3)
+    nb_keys = voxel.coords_to_key(
+        coords[:, None, :] + voxel.NEARBY6[None, :, :],
+        stats.keys[:, None] != voxel.INVALID_KEY)               # (V, 7)
+    slot, found = voxel.lookup_dense(dense, opts.dense_dims, nb_keys)
+    n_k = jnp.where(found, stats.count[slot], 0.0)              # (V, 7)
+    mu_k = stats.mean[slot]                                     # (V, 7, 3)
+    # second moments about the origin: S_k = n_k (cov_k + mu_k mu_k^T)
+    s2_k = n_k[..., None, None] * (
+        stats.cov[slot] + mu_k[..., :, None] * mu_k[..., None, :])
+    n = jnp.sum(n_k, axis=1)                                    # (V,)
+    s1 = jnp.sum(n_k[..., None] * mu_k, axis=1)                 # (V, 3)
+    s2 = jnp.sum(s2_k, axis=1)                                  # (V, 3, 3)
+    mu = s1 / jnp.maximum(n, 1.0)[:, None]
+    cov = s2 / jnp.maximum(n, 1.0)[:, None, None] - mu[:, :, None] * mu[:, None, :]
+    vals, vecs = mathx.eigh_sym3x3(cov)
+    nvec = vecs[..., :, 0]
+    d = -jnp.sum(nvec * mu, axis=-1, keepdims=True)
+    plane = jnp.concatenate([nvec, d], axis=-1)                 # (V, 4)
+    # validity: enough support, thin along the normal, AND genuinely planar —
+    # the eigenvalue-ratio term rejects line-degenerate voxels (e0 ~ e1) whose
+    # PCA "plane" has an arbitrary normal direction; verified to be the
+    # failure mode that diverged GN on corridor scenes (round-2 drive).
+    valid = ((n >= opts.plane_min_pts)
+             & (vals[..., 0] <= opts.plane_fit_eps)
+             & (vals[..., 1] >= 3.0 * vals[..., 0])
+             & (stats.keys != voxel.INVALID_KEY)
+             & jnp.isfinite(plane).all(axis=-1))
+    return jnp.where(valid[:, None], plane, 0.0), mu, valid
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
 def set_target(pc: PointCloud, opts: IcpOptions, origin=None) -> IcpTarget:
     """Build the search structure over the target cloud
     (SetInputTarget, icp_registration.cpp:9-29)."""
-    return IcpTarget(grid=voxel.build_hash_grid(pc, opts.grid_leaf, opts.bucket_size, origin))
+    grid = voxel.build_hash_grid(pc, opts.grid_leaf, opts.bucket_size, origin)
+    if opts.method != "p2plane_vox":
+        return IcpTarget(grid=grid)
+    dense = voxel.build_dense_index(grid.voxel_keys, dims=opts.dense_dims)
+    plane, plane_mu, plane_valid = _build_plane_table(pc, grid, opts, dense)
+    packed = jnp.concatenate(
+        [plane, plane_mu, plane_valid[:, None].astype(jnp.float32)], axis=1)
+    return IcpTarget(grid=grid, packed=packed, plane=plane, plane_mu=plane_mu,
+                     plane_valid=plane_valid, dense=dense)
 
 
 class MatchResult(NamedTuple):
@@ -149,7 +227,35 @@ def _p2plane_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
     return H, b, jnp.sum(eff), chi2
 
 
-_TERM_FNS = {"p2p": _p2p_terms, "p2line": _p2line_terms, "p2plane": _p2plane_terms}
+def _p2plane_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
+    """Voxel-plane P2Plane linearization: dense O(1) lookups + fused Pallas
+    kernel. Correspondence = nearest-centroid VALID plane voxel among the
+    point's own voxel + its 6 face neighbors (the gather-friendly stand-in
+    for the reference's kd-tree NN; center-only lookup demonstrably diverges
+    near voxel borders — round-2 drive). Residual/gate/Jacobian/H/b fuse in
+    `p2plane_fused_terms`."""
+    q = src.xyz
+    qs = q @ R.T + t
+    qcoords = voxel.voxel_coords(qs, target.grid.inv_leaf, target.grid.origin)
+    keys7 = voxel.coords_to_key(
+        qcoords[:, None, :] + voxel.NEARBY6[None, :, :], src.mask[:, None])
+    slot7, found7 = voxel.lookup_dense(target.dense, opts.dense_dims, keys7)
+    rows7 = target.packed[slot7]                             # (N, 7, 8)
+    valid7 = found7 & (rows7[..., 7] > 0.5)                  # (N, 7)
+    d2 = jnp.sum((rows7[..., 4:7] - qs[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid7, d2, jnp.inf)
+    pick = jnp.argmin(d2, axis=1)                            # (N,)
+    plane = jnp.take_along_axis(
+        rows7[..., 0:4], pick[:, None, None], axis=1)[:, 0]  # (N, 4)
+    w = (jnp.any(valid7, axis=1) & src.mask).astype(q.dtype)
+    H, b, n_eff, chi2 = pallas_kernels.p2plane_fused_terms(
+        q, plane, w, R, t, opts.max_plane_distance,
+        interpret=not pallas_kernels.on_tpu())
+    return H, b, n_eff, chi2
+
+
+_TERM_FNS = {"p2p": _p2p_terms, "p2line": _p2line_terms,
+             "p2plane": _p2plane_terms, "p2plane_vox": _p2plane_vox_terms}
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))

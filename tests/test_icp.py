@@ -132,3 +132,74 @@ def test_min_effective_guard():
     res = icp.scan_match(tgt, opts, src_pc, R0, t0)
     np.testing.assert_allclose(np.array(res.t), np.array(t0), atol=1e-6)
     assert not bool(res.converged)
+
+
+def test_p2plane_vox_recovers_pose():
+    rng = np.random.default_rng(7)
+    scene, src, R_true, t_true = _make_pair(rng, [0.02, -0.03, 0.04], [0.3, -0.2, 0.15])
+    opts = icp.IcpOptions(method="p2plane_vox", dense_dims=(64, 64, 32))
+    tgt = icp.set_target(pcm.from_numpy(scene, capacity=2048), opts)
+    res = icp.scan_match(tgt, opts, pcm.from_numpy(src, capacity=2048),
+                         jnp.eye(3), jnp.zeros(3))
+    rot_err, t_err = _pose_err(res, R_true, t_true)
+    assert bool(res.converged)
+    assert rot_err < 5e-3 and t_err < 5e-2
+
+
+def test_vox_plane_table_alignment_and_geometry():
+    """Plane-table rows must align with grid.voxel_keys slots, and a voxel on
+    the synthetic ground plane must recover n ~ +-z, |d| ~ 0."""
+    rng = np.random.default_rng(8)
+    scene = _structured_scene(rng)
+    opts = icp.IcpOptions(method="p2plane_vox", dense_dims=(64, 64, 32))
+    pc = pcm.from_numpy(scene, capacity=2048)
+    tgt = icp.set_target(pc, opts)
+    from loc_lib_tpu.ops import voxel as voxel_ops
+    stats = voxel_ops.voxel_stats(pc, opts.grid_leaf, origin=tgt.grid.origin,
+                                  mode="floor")
+    np.testing.assert_array_equal(np.asarray(stats.keys),
+                                  np.asarray(tgt.grid.voxel_keys))
+    # query the voxel containing a ground-plane point away from the walls
+    q = jnp.asarray([[3.2, 3.2, 0.0]], jnp.float32)
+    keys = voxel_ops.coords_to_key(
+        voxel_ops.voxel_coords(q, tgt.grid.inv_leaf, tgt.grid.origin),
+        jnp.ones((1,), bool))
+    slot, found = voxel_ops.lookup_dense(tgt.dense, opts.dense_dims, keys)
+    assert bool(found[0])
+    coeffs = np.asarray(tgt.plane)[int(slot[0])]
+    assert bool(np.asarray(tgt.plane_valid)[int(slot[0])])
+    assert abs(abs(coeffs[2]) - 1.0) < 1e-3   # normal is +-z
+    assert abs(coeffs[3]) < 1e-2              # plane through z=0
+
+
+def test_fused_terms_match_reference_formula():
+    """Pallas fused H/b vs a straight numpy evaluation of the same math."""
+    from loc_lib_tpu.ops import pallas_kernels
+    rng = np.random.default_rng(9)
+    n = 4096
+    q = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+    nvec = rng.normal(size=(n, 3)).astype(np.float32)
+    nvec /= np.linalg.norm(nvec, axis=1, keepdims=True)
+    d = rng.uniform(-1, 1, size=(n, 1)).astype(np.float32)
+    plane = np.concatenate([nvec, d], axis=1)
+    w = (rng.uniform(size=n) < 0.8).astype(np.float32)
+    R = oracles.so3_exp(np.array([0.05, -0.1, 0.2])).astype(np.float32)
+    t = np.array([0.3, -0.1, 0.25], np.float32)
+    gate = 0.5
+    H, b, n_eff, chi2 = pallas_kernels.p2plane_fused_terms(
+        jnp.asarray(q), jnp.asarray(plane), jnp.asarray(w),
+        jnp.asarray(R), jnp.asarray(t), gate, interpret=True)
+    # numpy reference
+    qs = q @ R.T + t
+    dis = np.sum(nvec * qs, axis=1) + d[:, 0]
+    wf = w * (np.abs(dis) <= gate)
+    rn = nvec @ R        # row-wise R^T n
+    jrot = -np.cross(rn, q)
+    J = np.concatenate([jrot, nvec], axis=1) * wf[:, None]
+    H_ref = J.T @ J
+    b_ref = -(J.T @ (dis * wf))
+    np.testing.assert_allclose(np.asarray(H), H_ref, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-4, atol=1e-3)
+    assert int(n_eff) == int(wf.sum())
+    np.testing.assert_allclose(float(chi2), float((dis**2 * wf).sum()),
+                               rtol=1e-4)

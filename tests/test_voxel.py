@@ -104,3 +104,52 @@ def test_masked_points_ignored():
     assert int(out.count()) == 1  # all valid points share one voxel
     stats = voxel.voxel_stats(pc, 1.0)
     assert float(stats.count.max()) == 2.0
+
+
+def test_dense_index_matches_searchsorted():
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-20, 20, size=(500, 3)).astype(np.float32)
+    pc = pcm.from_numpy(pts, capacity=512)
+    grid = voxel.build_hash_grid(pc, 1.0, bucket_size=8)
+    dense = voxel.build_dense_index(grid.voxel_keys, dims=(64, 64, 64))
+    queries = rng.uniform(-25, 25, size=(300, 3)).astype(np.float32)
+    keys = voxel.coords_to_key(
+        voxel.voxel_coords(jnp.asarray(queries), grid.inv_leaf, grid.origin),
+        jnp.ones((300,), bool))
+    s_slot, s_found = voxel.lookup_voxels(grid, keys)
+    d_slot, d_found = voxel.lookup_dense(dense, (64, 64, 64), keys)
+    np.testing.assert_array_equal(np.asarray(s_found), np.asarray(d_found))
+    np.testing.assert_array_equal(
+        np.asarray(s_slot)[np.asarray(s_found)],
+        np.asarray(d_slot)[np.asarray(d_found)])
+
+
+def test_dense_index_out_of_window_not_found():
+    pts = np.array([[0.5, 0.5, 0.5], [100.5, 0.5, 0.5]], np.float32)
+    pc = pcm.from_numpy(pts, capacity=4)
+    grid = voxel.build_hash_grid(pc, 1.0, bucket_size=4)
+    dense = voxel.build_dense_index(grid.voxel_keys, dims=(8, 8, 8))
+    keys = voxel.coords_to_key(
+        voxel.voxel_coords(jnp.asarray(pts), grid.inv_leaf, grid.origin),
+        jnp.ones((2,), bool))
+    _, found = voxel.lookup_dense(dense, (8, 8, 8), keys)
+    assert bool(found[0]) and not bool(found[1])  # 100m away: outside window
+
+
+def test_bucket_overflow_counter():
+    # 12 points in one voxel with bucket_size=8 -> 4 dropped, counted
+    pts = np.tile(np.array([[0.2, 0.2, 0.2]], np.float32), (12, 1))
+    pts += np.linspace(0, 0.01, 12)[:, None].astype(np.float32)
+    pc = pcm.from_numpy(pts, capacity=16)
+    grid = voxel.build_hash_grid(pc, 1.0, bucket_size=8)
+    assert int(grid.overflow) == 4
+    grid2 = voxel.build_hash_grid(pc, 1.0, bucket_size=16)
+    assert int(grid2.overflow) == 0
+
+
+def test_key_to_coords_roundtrip():
+    rng = np.random.default_rng(5)
+    coords = rng.integers(-500, 500, size=(100, 3)).astype(np.int32)
+    keys = voxel.coords_to_key(jnp.asarray(coords), jnp.ones((100,), bool))
+    back = voxel.key_to_coords(keys)
+    np.testing.assert_array_equal(np.asarray(back), coords)
