@@ -141,10 +141,15 @@ def edge_residual_norms(nodes_R, nodes_t, edges: Se3Edges):
     return jnp.linalg.norm(r[:, :3], axis=-1), jnp.linalg.norm(r[:, 3:], axis=-1)
 
 
-def _assemble_blocks(R, t, edges: Se3Edges, opts: PgoOptions, m: int):
+def _assemble_blocks(R, t, edges: Se3Edges, opts: PgoOptions, m: int,
+                     axis_name=None):
     """Linearize all edges and assemble the block-sparse normal equations:
     Hdiag (M,6,6) including damping + gauge prior, Hij (E,6,6) off-diagonal
-    blocks (zeroed for invalid edges), b (M,6), per-edge chi2."""
+    blocks (zeroed for invalid edges), b (M,6), per-edge chi2.
+
+    With `axis_name`, `edges` is a local shard: the node-indexed reductions
+    (Hdiag, b) psum over the mesh axis so they come out replicated, while the
+    edge-indexed outputs (Hij, chi2) stay local."""
     Ri, ti = R[edges.i], t[edges.i]
     Rj, tj = R[edges.j], t[edges.j]
     r, Ji, Jj = _linearize(Ri, ti, Rj, tj, edges.R, edges.t)
@@ -162,6 +167,9 @@ def _assemble_blocks(R, t, edges: Se3Edges, opts: PgoOptions, m: int):
         jax.ops.segment_sum(Hjj, edges.j, num_segments=m)
     b = jax.ops.segment_sum(bi, edges.i, num_segments=m) + \
         jax.ops.segment_sum(bj, edges.j, num_segments=m)
+    if axis_name is not None:
+        Hdiag = jax.lax.psum(Hdiag, axis_name)
+        b = jax.lax.psum(b, axis_name)
     eye6 = jnp.eye(6, dtype=jnp.float32)
     Hdiag = Hdiag + opts.damping * eye6
     Hdiag = Hdiag.at[0].add(opts.gauge_weight * eye6)
