@@ -27,7 +27,9 @@ from ..utils.timing import StageTimer
 
 def run_mapping(log: logdir.SensorLog, opts: lio_mod.LioOptions,
                 out_dir: str, ckpt_every: int = 0,
-                resume: bool = False) -> dict:
+                resume: bool = False, use_orbax=None) -> dict:
+    """use_orbax: None = auto (orbax when importable, the production path);
+    False forces the npz fallback."""
     os.makedirs(out_dir, exist_ok=True)
     import jax.numpy as jnp
 
@@ -35,7 +37,7 @@ def run_mapping(log: logdir.SensorLog, opts: lio_mod.LioOptions,
     kf_store = ckpt_io.KeyframeStore(os.path.join(out_dir, "key_frames"),
                                      fresh=not resume)
     ckpt = ckpt_io.Checkpointer(os.path.join(out_dir, "ckpt"),
-                                use_orbax=False) if ckpt_every else None
+                                use_orbax=use_orbax) if ckpt_every else None
     start = 0
     if resume and ckpt is not None and ckpt.latest() is not None:
         engine.state, start = ckpt.restore(engine.state)
@@ -99,6 +101,8 @@ def main(argv=None):
     ap.add_argument("--ckpt-every", type=int, default=0,
                     help="checkpoint the LIO state every N scans (0 = off)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-orbax", action="store_true",
+                    help="force the npz checkpoint fallback instead of orbax")
     args = ap.parse_args(argv)
 
     if args.demo:
@@ -115,7 +119,8 @@ def main(argv=None):
         opts = lio_mod.LioOptions(scan_capacity=log.scan_xyz.shape[1])
 
     report = run_mapping(log, opts, args.out, ckpt_every=args.ckpt_every,
-                         resume=args.resume)
+                         resume=args.resume,
+                         use_orbax=False if args.no_orbax else None)
     print(json.dumps(report))
 
 

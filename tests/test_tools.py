@@ -121,3 +121,20 @@ def test_matching_app_end_to_end(tmp_path):
                           init_pose=log.gt_poses[0])
     assert report["frames"] == 4
     assert report["ate_rmse_m"] < 0.5
+
+
+def test_checkpointer_orbax_roundtrip(tmp_path):
+    """The orbax branch (the apps' default when orbax imports) must
+    save/restore/GC like the npz fallback (VERDICT r1 weak #7)."""
+    pytest.importorskip("orbax.checkpoint")
+    ck = ckpt_io.Checkpointer(str(tmp_path), max_to_keep=2, use_orbax=True)
+    s = eskf.init_state()
+    for step in (1, 2, 3):
+        ck.save(step, s._replace(time=jnp.float32(step)))
+    assert ck.latest() == 3
+    restored, step = ck.restore(s)
+    assert step == 3 and float(restored.time) == 3.0
+    np.testing.assert_allclose(np.asarray(restored.cov), np.asarray(s.cov),
+                               atol=1e-7)
+    assert ck._mgr.all_steps() == [2, 3]  # oldest garbage-collected
+    ck.close()
