@@ -33,13 +33,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.pointcloud import PointCloud
-from ..ops import voxel
+from ..ops import voxel, pallas_kernels
 from ..utils import lie, mathx
 
 
@@ -59,6 +59,12 @@ class NdtOptions:
     # TPU-side capacity of the incremental voxel table (reference LRU
     # capacity_=100000, hpp:37). Power of two for cheap padding.
     map_capacity: int = 65536
+    # Fused fast path: O(1) dense voxel lookup (one gather instead of a
+    # 17-round binary search per stencil probe) + the Pallas linearization
+    # kernel over Cholesky-packed voxel info. use_fused=False keeps the
+    # jnp-level oracle path (tests pin the two to identical H/b).
+    use_fused: bool = True
+    dense_dims: tuple = (256, 256, 64)
 
 
 def _stencil(opts: NdtOptions) -> jax.Array:
@@ -77,6 +83,11 @@ class NdtMap(NamedTuple):
     age       : (V,) int32 — epoch last touched (incremental eviction)
     epoch     : () int32 — number of updates applied
     origin    : (3,) float32 key-window origin
+    packed    : (V, 10) [mu(3), chol(info) packed L(6), est(1)] — ONE row
+                gather per stencil probe feeds the fused Pallas kernel
+                (None when opts.use_fused=False)
+    dense_table, dense_lo : O(1) voxel->slot index (ops.voxel.DenseIndex
+                fields, flattened here so NdtMap stays a flat pytree)
     """
 
     keys: jax.Array
@@ -88,6 +99,23 @@ class NdtMap(NamedTuple):
     age: jax.Array
     epoch: jax.Array
     origin: jax.Array
+    packed: Optional[jax.Array] = None
+    dense_table: Optional[jax.Array] = None
+    dense_lo: Optional[jax.Array] = None
+
+
+def _finalize_map(m: NdtMap, opts: NdtOptions) -> NdtMap:
+    """Attach the fused-path acceleration structures: Cholesky-packed rows
+    (info = L L^T, so the kernel's |L^T e|^2 IS the reference's chi2 gate
+    e^T info e) and the dense O(1) slot index."""
+    if not opts.use_fused:
+        return m
+    L = mathx.cholesky_3x3(jnp.where(m.estimated[:, None, None], m.info, 0.0))
+    packed = jnp.concatenate(
+        [m.mean, L, m.estimated[:, None].astype(jnp.float32)], axis=1)
+    dense = voxel.build_dense_index(m.keys, dims=opts.dense_dims)
+    return m._replace(packed=packed, dense_table=dense.table,
+                      dense_lo=dense.lo)
 
 
 # ---------------------------------------------------------------------------
@@ -105,7 +133,7 @@ def build_direct(pc: PointCloud, opts: NdtOptions, origin=None) -> NdtMap:
     keys = jnp.where(keep, stats.keys, voxel.INVALID_KEY)
     # re-sort so dropped voxels sink to the end and keys stay searchsorted-able
     order = jnp.argsort(keys)
-    return NdtMap(
+    return _finalize_map(NdtMap(
         keys=keys[order],
         count=stats.count[order],
         mean=stats.mean[order],
@@ -115,7 +143,7 @@ def build_direct(pc: PointCloud, opts: NdtOptions, origin=None) -> NdtMap:
         age=jnp.zeros_like(stats.count, dtype=jnp.int32),
         epoch=jnp.int32(1),
         origin=origin,
-    )
+    ), opts)
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +154,7 @@ def empty_incremental(opts: NdtOptions, origin=None) -> NdtMap:
     v = opts.map_capacity
     if origin is None:
         origin = jnp.zeros((3,), dtype=jnp.float32)
-    return NdtMap(
+    return _finalize_map(NdtMap(
         keys=jnp.full((v,), voxel.INVALID_KEY, dtype=jnp.int32),
         count=jnp.zeros((v,), dtype=jnp.float32),
         mean=jnp.zeros((v, 3), dtype=jnp.float32),
@@ -136,7 +164,7 @@ def empty_incremental(opts: NdtOptions, origin=None) -> NdtMap:
         age=jnp.zeros((v,), dtype=jnp.int32),
         epoch=jnp.int32(0),
         origin=origin,
-    )
+    ), opts)
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -220,8 +248,9 @@ def update_incremental(m: NdtMap, pc: PointCloud, opts: NdtOptions) -> NdtMap:
     info4 = jnp.where(single[:, None, None], info_single, info_est)
     info4 = jnp.where(est4[:, None, None], info4, 0.0)
 
-    return NdtMap(keys=keys4, count=cnt4, mean=mean4, cov=cov4, info=info4,
-                  estimated=est4, age=age4, epoch=epoch, origin=m.origin)
+    return _finalize_map(
+        NdtMap(keys=keys4, count=cnt4, mean=mean4, cov=cov4, info=info4,
+               estimated=est4, age=age4, epoch=epoch, origin=m.origin), opts)
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +280,19 @@ def _ndt_terms(m: NdtMap, opts: NdtOptions, src: PointCloud, R, t, weighted: boo
     qc = voxel.voxel_coords(qs, 1.0 / opts.voxel_size, m.origin, mode="trunc")
     st = _stencil(opts)
     nb_keys = voxel.coords_to_key(qc[:, None, :] + st[None, :, :], src.mask[:, None])
+
+    if opts.use_fused and m.packed is not None:
+        # O(1) dense lookup + ONE (N, S, 10) row gather + the fused Pallas
+        # kernel: residual, chi2 gate, Jacobian, H/b in a single pass
+        dense = voxel.DenseIndex(table=m.dense_table, lo=m.dense_lo)
+        slot, found = voxel.lookup_dense(dense, opts.dense_dims, nb_keys)
+        rows = m.packed[slot]                            # (N, S, 10)
+        valid = (found & (rows[..., 9] > 0.5)).astype(jnp.float32)
+        return pallas_kernels.ndt_fused_terms(
+            q, qs, rows[..., 0:3], rows[..., 3:9], valid, R, t,
+            opts.res_outlier_th, weighted,
+            interpret=not pallas_kernels.on_tpu())
+
     slot, found = _lookup(m, nb_keys)                    # (N, S)
     found = found & m.estimated[slot]
     mu = m.mean[slot]                                    # (N, S, 3)

@@ -117,6 +117,143 @@ def p2plane_fused_terms(q, plane, w, R, t, gate, interpret=False):
     return H, b, n_eff, chi2
 
 
+_NDT_TILE = 2048
+
+
+def _make_ndt_kernel(S: int, weighted: bool):
+    """Fused NDT linearization over a static stencil of S voxels per point.
+
+    Folds the per-voxel information matrix through its pre-computed Cholesky
+    factor (info = L L^T, models/ndt.py packs L at map-build time): each
+    (point, stencil) residual contributes rows
+
+        weighted   a_i = w * [ (L^T J)_i(6) | (L^T e)_i | flag_i ]
+        direct     a_i = w * [       J_i(6) |       e_i | flag_i ]
+
+    with J = [-R hat(q) | I] (ndt_registration.cpp:330-332), the chi2 gate
+    res = |L^T e|^2 = e^T info e <= th evaluated from the SAME z rows, and
+    flag_0 = 1 counting residuals. G = sum a a^T on the MXU then yields
+    H = G[:6,:6], b = -G[:6,6], chi2 = G[6,6], n_res = G[7,7] — the exact
+    weighted/unweighted systems of AlignIncNdt/AlignNdt
+    (cpp:344-347 / 425-433) with zero intermediate HBM traffic.
+    """
+
+    def kernel(pose_ref, q_ref, qs_ref, mu_ref, L_ref, valid_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        p = pose_ref
+        th = p[0, 9]
+        x, y, z = q_ref[0:1, :], q_ref[1:2, :], q_ref[2:3, :]
+        qsx, qsy, qsz = qs_ref[0:1, :], qs_ref[1:2, :], qs_ref[2:3, :]
+        R = [[p[0, 0], p[0, 1], p[0, 2]],
+             [p[0, 3], p[0, 4], p[0, 5]],
+             [p[0, 6], p[0, 7], p[0, 8]]]
+
+        acc = jnp.zeros((8, 8), jnp.float32)
+        for s in range(S):
+            e0 = qsx - mu_ref[3 * s + 0:3 * s + 1, :]
+            e1 = qsy - mu_ref[3 * s + 1:3 * s + 2, :]
+            e2 = qsz - mu_ref[3 * s + 2:3 * s + 3, :]
+            l = [L_ref[6 * s + k:6 * s + k + 1, :] for k in range(6)]
+            l00, l10, l11, l20, l21, l22 = l
+            z0 = l00 * e0 + l10 * e1 + l20 * e2
+            z1 = l11 * e1 + l21 * e2
+            z2 = l22 * e2
+            res = z0 * z0 + z1 * z1 + z2 * z2
+            w = valid_ref[s:s + 1, :] * (res <= th).astype(jnp.float32)
+            one = jnp.ones_like(w)
+            zero = jnp.zeros_like(w)
+            if weighted:
+                # M = L^T R (3x3 of (1,T) rows); B_rot = -M hat(q); B_t = L^T
+                M = [[l00 * R[0][j] + l10 * R[1][j] + l20 * R[2][j]
+                      for j in range(3)],
+                     [l11 * R[1][j] + l21 * R[2][j] for j in range(3)],
+                     [l22 * R[2][j] for j in range(3)]]
+                Bt = [[l00, l10, l20], [zero, l11, l21], [zero, zero, l22]]
+                zrow = [z0, z1, z2]
+            else:
+                M = R  # rows of J_rot come from -R hat(q) directly
+                eye = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+                Bt = eye
+                zrow = [e0, e1, e2]
+            for i_row in range(3):
+                m0, m1, m2 = M[i_row][0], M[i_row][1], M[i_row][2]
+                a = jnp.concatenate([
+                    m2 * y - m1 * z,          # B_rot col 0
+                    m0 * z - m2 * x,          # B_rot col 1
+                    m1 * x - m0 * y,          # B_rot col 2
+                    Bt[i_row][0], Bt[i_row][1], Bt[i_row][2],
+                    zrow[i_row],
+                    one if i_row == 0 else zero,
+                ], axis=0) * w                # (8, T)
+                acc = acc + jax.lax.dot_general(
+                    a, a, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        out_ref[:] += jnp.concatenate(
+            [acc, jnp.zeros((8, 120), jnp.float32)], axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("weighted", "interpret"))
+def ndt_fused_terms(q, qs, mu, L, valid, R, t, outlier_th, weighted,
+                    interpret=False):
+    """Fused NDT linearization.
+
+    q (N, 3) body points, qs (N, 3) world points, mu (N, S, 3) gathered
+    voxel means, L (N, S, 6) packed Cholesky factors of the voxel info,
+    valid (N, S) float 0/1, R (3,3), outlier_th chi2 gate.
+    Returns (H (6,6), b (6,), n_res () int32, chi2 ()).
+    """
+    n, S = valid.shape
+    pad = (-n) % _NDT_TILE
+    if pad:
+        zf = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        q, qs, mu, L, valid = zf(q), zf(qs), zf(mu), zf(L), zf(valid)
+    n_pad = n + pad
+    pose = jnp.concatenate([
+        jnp.reshape(R, (9,)).astype(jnp.float32),
+        jnp.reshape(jnp.asarray(outlier_th, jnp.float32), (1,)),
+        jnp.zeros((6,), jnp.float32),
+    ]).reshape(1, 16)
+    T = _NDT_TILE
+    grid = n_pad // T
+    out = pl.pallas_call(
+        _make_ndt_kernel(S, weighted),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * S, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * S, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(pose,
+      q.astype(jnp.float32).T,
+      qs.astype(jnp.float32).T,
+      mu.astype(jnp.float32).transpose(1, 2, 0).reshape(3 * S, n_pad),
+      L.astype(jnp.float32).transpose(1, 2, 0).reshape(6 * S, n_pad),
+      valid.astype(jnp.float32).T)
+    G = out[:, :8]
+    H = G[:6, :6]
+    b = -G[:6, 6]
+    chi2 = G[6, 6]
+    n_res = G[7, 7].astype(jnp.int32)
+    return H, b, n_res, chi2
+
+
 def on_tpu() -> bool:
     """True when the default backend is a real TPU (Pallas compiled mode);
     the CPU test mesh runs the same kernels under interpret=True."""

@@ -344,6 +344,6 @@ def ndt_scan_match_sharded(mesh: Mesh, sm: ShardedNdtMap,
     return shard_map(
         kernel, mesh=mesh,
         in_specs=(_mp_specs(sm.map), P("dp"), P("dp"), P(), P()),
-        out_specs=P(),
+        out_specs=P(), check_vma=False,
     )(sm.map, src.xyz, src.mask, jnp.asarray(R0, jnp.float32),
       jnp.asarray(t0, jnp.float32))

@@ -73,7 +73,7 @@ def icp_scan_match(mesh: Mesh, target: icp.IcpTarget, opts: icp.IcpOptions,
     return shard_map(
         kernel, mesh=mesh,
         in_specs=(n_target, P("dp"), P("dp"), P(), P()),
-        out_specs=P(),
+        out_specs=P(), check_vma=False,
     )(target.grid, src.xyz, src.mask, jnp.asarray(R0, jnp.float32),
       jnp.asarray(t0, jnp.float32))
 
@@ -100,6 +100,6 @@ def ndt_scan_match(mesh: Mesh, m: ndt.NdtMap, opts: ndt.NdtOptions,
     return shard_map(
         kernel, mesh=mesh,
         in_specs=(n_map, P("dp"), P("dp"), P(), P()),
-        out_specs=P(),
+        out_specs=P(), check_vma=False,
     )(m, src.xyz, src.mask, jnp.asarray(R0, jnp.float32),
       jnp.asarray(t0, jnp.float32))

@@ -217,3 +217,40 @@ def schur_marginalize(H: jax.Array, b: jax.Array, k: int):
     Hp = Hbb - Hba @ Haa_inv @ Hab
     bp = bb - Hba @ Haa_inv @ ba
     return Hp, bp
+
+
+def cholesky_3x3(A: jax.Array):
+    """Closed-form lower Cholesky of batched SPD 3x3 matrices (..., 3, 3) ->
+    six packed factors (..., 6) ordered [L00, L10, L11, L20, L21, L22].
+
+    Used to pre-factor NDT per-voxel information matrices at map-build time
+    so the matching kernel folds info into rows B = L^T J / z = L^T e and
+    accumulates plain outer products (H = B^T B) on the MXU — no per-point
+    3x3 quadratic forms in the hot loop. Degenerate inputs (zero info of a
+    non-estimated voxel) produce zeros, not NaNs."""
+    eps = jnp.float32(1e-12)
+    a00 = jnp.maximum(A[..., 0, 0], 0.0)
+    l00 = jnp.sqrt(a00 + eps)
+    inv00 = 1.0 / l00
+    l10 = A[..., 1, 0] * inv00
+    l20 = A[..., 2, 0] * inv00
+    d11 = jnp.maximum(A[..., 1, 1] - l10 * l10, 0.0)
+    l11 = jnp.sqrt(d11 + eps)
+    l21 = (A[..., 2, 1] - l20 * l10) / l11
+    d22 = jnp.maximum(A[..., 2, 2] - l20 * l20 - l21 * l21, 0.0)
+    l22 = jnp.sqrt(d22 + eps)
+    packed = jnp.stack([l00, l10, l11, l20, l21, l22], axis=-1)
+    # exact-zero input -> exact-zero factor (est=False voxels carry info=0)
+    zero = jnp.all(A == 0.0, axis=(-2, -1))
+    return jnp.where(zero[..., None], 0.0, packed)
+
+
+def cholesky_3x3_unpack(packed: jax.Array) -> jax.Array:
+    """(..., 6) packed factors -> (..., 3, 3) lower-triangular L."""
+    z = jnp.zeros_like(packed[..., 0])
+    rows = jnp.stack([
+        jnp.stack([packed[..., 0], z, z], axis=-1),
+        jnp.stack([packed[..., 1], packed[..., 2], z], axis=-1),
+        jnp.stack([packed[..., 3], packed[..., 4], packed[..., 5]], axis=-1),
+    ], axis=-2)
+    return rows

@@ -104,3 +104,20 @@ def test_schur_marginalize():
     x_full = np.linalg.solve(H, b)
     x_b = np.linalg.solve(np.array(Hp, dtype=np.float64), np.array(bp, dtype=np.float64))
     np.testing.assert_allclose(x_b, x_full[3:], atol=1e-3)
+
+
+def test_cholesky_3x3_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+    from loc_lib_tpu.utils import mathx
+    rng = np.random.default_rng(3)
+    B = rng.normal(size=(32, 3, 3)).astype(np.float32)
+    A = B @ B.transpose(0, 2, 1) + 0.1 * np.eye(3, dtype=np.float32)
+    packed = mathx.cholesky_3x3(jnp.asarray(A))
+    L = np.asarray(mathx.cholesky_3x3_unpack(packed))
+    np.testing.assert_allclose(L @ L.transpose(0, 2, 1), A, rtol=2e-3,
+                               atol=2e-3)
+    assert (np.asarray(packed)[:, [0, 2, 5]] > 0).all()  # diagonal positive
+    # zero info (non-estimated voxel) stays exactly zero
+    z = mathx.cholesky_3x3(jnp.zeros((1, 3, 3)))
+    np.testing.assert_array_equal(np.asarray(z), 0.0)

@@ -153,3 +153,33 @@ def test_key_to_coords_roundtrip():
     keys = voxel.coords_to_key(jnp.asarray(coords), jnp.ones((100,), bool))
     back = voxel.key_to_coords(keys)
     np.testing.assert_array_equal(np.asarray(back), coords)
+
+
+def test_bfnn_exact_against_numpy_and_grid():
+    """ops.bfnn is the library's exact oracle (reference BFNN role,
+    bfnn.cpp:24-66): matches a float64 numpy argsort and upper-bounds the
+    stencil-limited hash-grid knn."""
+    import numpy as np
+    import jax.numpy as jnp
+    from loc_lib_tpu.ops import bfnn, voxel
+    from loc_lib_tpu.ops.pointcloud import from_numpy
+
+    rng = np.random.default_rng(5)
+    tgt_np = rng.uniform(-8, 8, (300, 3)).astype(np.float32)
+    q_np = rng.uniform(-8, 8, (64, 3)).astype(np.float32)
+    tgt = from_numpy(tgt_np, capacity=512)
+    pts, idx, d2, valid = bfnn.knn(tgt, jnp.asarray(q_np),
+                                   jnp.ones((64,), bool), k=3)
+    idx, d2 = np.asarray(idx), np.asarray(d2)
+    for qi in range(64):
+        ref = np.sum((tgt_np.astype(np.float64) - q_np[qi]) ** 2, axis=1)
+        order = np.argsort(ref)[:3]
+        np.testing.assert_array_equal(np.sort(idx[qi]), np.sort(order))
+        np.testing.assert_allclose(np.sort(d2[qi]), np.sort(ref[order]),
+                                   rtol=1e-4, atol=1e-4)
+    # the grid knn (exact within its stencil) never beats the oracle
+    grid = voxel.build_hash_grid(tgt, 1.0, bucket_size=8)
+    _, _, gd2, gvalid = voxel.knn(grid, jnp.asarray(q_np),
+                                  jnp.ones((64,), bool), 3)
+    gd2 = np.asarray(gd2)
+    assert (gd2[np.asarray(gvalid)] >= d2[np.asarray(gvalid)] - 1e-4).all()
