@@ -1,0 +1,334 @@
+"""Extended benchmark suite: BASELINE.md plan items 2-5 + device scaling.
+
+bench.py is the driver's one-line headline (single-chip P2Plane scan-match
+throughput vs the C++ baseline); this suite records the rest of the
+BASELINE.md measurement plan as a committed artifact, BENCH_SUITE.json:
+
+  1. lio_full_log     — ESKF-LIO over a demo log: steady-state scans/s + ATE
+                        (plan item 3; ref design point is a 10 Hz lidar,
+                        lio_mapping_node.cpp:96).
+  2. ndt_inc_odometry — incremental-NDT scan-to-map odometry over the same
+                        log: scans/s + ATE (plan item 2; ref analog
+                        ndt_registration.cpp:262-372 inside Lio).
+  3. slam3d_loop      — full SLAM with ScanContext loop closure + two-phase
+                        PGO on a loopy trajectory: ATE + solve time
+                        (plan item 4; the reference's only PGO is 2D,
+                        loop_closing.cpp:160-255).
+  4. scaling          — the distributed matcher's device-scaling story:
+                        (a) measured compute time vs per-device shard size
+                        on the real chip (T(N/k) for k = 1,2,4,8), projected
+                        k-chip efficiency given the 42-float/iteration psum;
+                        (b) the virtual-CPU mesh curve for program-partition
+                        correctness (this host has ~2 physical cores, so the
+                        virtual curve measures partitioning, not speedup).
+
+Run: python bench_suite.py [--quick]. Writes BENCH_SUITE.json next to it.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _setup_jax():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def bench_lio(matcher: str, frames: int, capacity: int,
+              icp_method: str = "p2plane") -> dict:
+    """Full-log LIO: steady-state scans/s + ATE vs the synthetic ground
+    truth. Warmup frames (compile + first keyframe rebuild) are excluded
+    from timing, like the reference's evaluate_and_call warmup."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from loc_lib_tpu.io import logdir
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import lio as lio_mod
+    from loc_lib_tpu.models import icp as icp_mod, ndt as ndt_mod
+    from loc_lib_tpu.eval import metrics
+
+    log = logdir.make_demo_log(num_frames=frames, capacity=capacity,
+                               yaw_rate=0.0, speed=2.0)
+    if matcher == "icp":
+        opts = lio_mod.LioOptions(
+            matcher="icp", icp=icp_mod.IcpOptions(method=icp_method),
+            scan_capacity=capacity, with_eskf=True)
+    else:
+        opts = lio_mod.LioOptions(
+            matcher="ndt_inc",
+            ndt=ndt_mod.NdtOptions(method="incremental", voxel_size=1.0),
+            scan_capacity=capacity, with_eskf=True)
+    engine = lio_mod.Lio(opts)
+    # static init from the log's leading IMU window
+    for t, g, a in zip(log.imu.stamps[:150], log.imu.gyro[:150],
+                       log.imu.acce[:150]):
+        engine.init_imu(g, a, t)
+    assert engine.imu_inited
+
+    warmup = 6
+    times, poses, idxs, dev_inputs = [], [], [], []
+    state_w = None
+    for mg in log.measures(imu_capacity=64):
+        scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                          mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+        inp = (scan, jnp.asarray(mg.imu_gyro), jnp.asarray(mg.imu_acce),
+               jnp.asarray(mg.imu_stamp), jnp.asarray(mg.imu_valid))
+        dev_inputs.append(inp)
+        if len(dev_inputs) == warmup:
+            state_w = engine.state  # steady-state snapshot for the
+            #                         pipelined pass below
+        t0 = time.perf_counter()
+        out = engine.add_measure(inp[0], *inp[1:])
+        jax.block_until_ready(out.t)
+        times.append(time.perf_counter() - t0)
+        idxs.append(mg.scan_index)
+    poses = np.stack(engine.poses)
+    a = metrics.ate(poses, log.gt_poses[np.asarray(idxs)])
+    steady = np.asarray(times[warmup:])
+
+    # Pipelined device rate: the SAME steady-state frames dispatched
+    # back-to-back from the pre-uploaded inputs with ONE final sync — the
+    # throughput the chip sustains when the host isn't pulling a pose per
+    # scan. On this tunneled-TPU testbed the host loop above pays a ~25 ms
+    # round trip per scan, so this is the honest hardware number (on local
+    # hardware the two converge).
+    jax.block_until_ready(engine.state.t)
+    t0 = time.perf_counter()
+    st = state_w
+    for inp in dev_inputs[warmup:]:
+        st, out = lio_mod.step_measure(st, inp[0], *inp[1:], opts)
+    jax.block_until_ready(out.t)
+    pipelined = (time.perf_counter() - t0) / len(dev_inputs[warmup:])
+    return {
+        "frames": frames,
+        "scan_capacity": capacity,
+        "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
+        "scans_per_sec_pipelined": round(1.0 / pipelined, 2),
+        "ms_per_scan_p50": round(float(np.percentile(steady, 50)) * 1e3, 2),
+        "ms_per_scan_p95": round(float(np.percentile(steady, 95)) * 1e3, 2),
+        "ate_rmse_m": round(a.rmse, 4),
+        "ate_max_m": round(a.max, 4),
+    }
+
+
+def bench_slam3d(frames: int, capacity: int) -> dict:
+    """Loop-closure SLAM on a circular trajectory: ATE before/after the
+    two-phase PGO + the solve wall time."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from loc_lib_tpu.io import logdir
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import lio as lio_mod, slam3d
+    from loc_lib_tpu.models import icp as icp_mod
+    from loc_lib_tpu.eval import metrics
+
+    from loc_lib_tpu.graph import scan_context as sc
+
+    # closed circle (yaw_rate * dt * frames > 2*pi) so loops actually occur
+    log = logdir.make_demo_log(num_frames=frames, capacity=capacity,
+                               dt=0.2, speed=1.4, yaw_rate=0.72,
+                               world_points=60000, extent=16.0,
+                               max_range=14.0)
+    opts = slam3d.Slam3dOptions(
+        lio=lio_mod.LioOptions(
+            matcher="icp", icp=icp_mod.IcpOptions(method="p2plane"),
+            scan_capacity=capacity, with_eskf=True, kf_distance=0.4,
+            num_kfs_in_local_map=3),
+        sc=sc.ScanContextOptions(exclude_recent=8, dist_threshold=0.25),
+        loop=slam3d.LoopOptions(min_keyframe_gap=8, max_candidate_dist=10.0,
+                                min_effective_pts=60, max_chi2_per_pt=0.1,
+                                optimize_every=100),
+        loop_icp=icp_mod.IcpOptions(method="p2plane", max_iteration=20,
+                                    max_plane_distance=0.5, grid_leaf=2.0),
+    )
+    engine = slam3d.Slam3d(opts)
+    for t, g, a in zip(log.imu.stamps[:150], log.imu.gyro[:150],
+                       log.imu.acce[:150]):
+        engine.init_imu(g, a, t)
+
+    idxs = []
+    t_start = time.perf_counter()
+    for mg in log.measures(imu_capacity=64):
+        scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                          mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+        engine.add_measure(scan, jnp.asarray(mg.imu_gyro),
+                           jnp.asarray(mg.imu_acce),
+                           jnp.asarray(mg.imu_stamp),
+                           jnp.asarray(mg.imu_valid))
+        idxs.append(mg.scan_index)
+    wall = time.perf_counter() - t_start
+
+    t0 = time.perf_counter()
+    ran = engine.optimize()
+    pgo_first_s = time.perf_counter() - t0   # includes the solver compile
+    t0 = time.perf_counter()
+    engine.optimize()                        # same graph shape: cached
+    pgo_s = time.perf_counter() - t0
+    kf_gt = log.gt_poses[np.asarray(engine.kf_frame)]
+    a = metrics.ate(engine.keyframe_poses(), kf_gt)
+    return {
+        "frames": frames,
+        "keyframes": len(engine.kf_R),
+        "loops_accepted": len(engine.loops),
+        "pgo_ran": bool(ran),
+        "pgo_wall_s": round(pgo_s, 3),
+        "pgo_first_call_s": round(pgo_first_s, 3),
+        "ate_rmse_m": round(a.rmse, 4),
+        "total_wall_s": round(wall, 2),
+    }
+
+
+def bench_scaling_tpu(n_target: int, n_source: int, repeats: int) -> dict:
+    """Per-device-shard compute time on the real chip: T(N/k) for
+    k=1,2,4,8 source shards, and the projected k-chip strong-scaling
+    efficiency eff(k) = T(N) / (k * (T(N/k) + t_comm)), with t_comm the
+    42-float psum per GN iteration (~2 us/iter on ICI, 20 iters -> 40 us,
+    rounded up to 100 us to stay conservative)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from loc_lib_tpu.io import synthetic
+    from loc_lib_tpu.models import icp
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+
+    world = synthetic.make_world(num_points=200000, extent=80.0, seed=7)
+    traj = synthetic.make_trajectory(num_frames=2, dt=0.1, speed=2.0)
+    tgt = synthetic.render_scan(world, traj.R[0], traj.t[0], max_range=70.0,
+                                max_points=n_target, noise=0.01, seed=0,
+                                capacity=n_target)
+    src = synthetic.render_scan(world, traj.R[1], traj.t[1], max_range=70.0,
+                                max_points=n_source, noise=0.01, seed=1,
+                                capacity=n_source)
+    # eps=0 disables the |dx| early exit so every shard size runs the same
+    # 20 iterations — otherwise T(N/k) confounds compute with convergence
+    opts = icp.IcpOptions(method="p2plane_vox", eps=0.0)
+    target = icp.set_target(tgt, opts)
+    eye, z = jnp.eye(3), jnp.zeros(3)
+
+    t_comm_s = 100e-6  # conservative per-scan psum budget (see docstring)
+    points = {}
+    for k in (1, 2, 4, 8):
+        cap = n_source // k
+        shard = PointCloud(xyz=src.xyz[:cap], mask=src.mask[:cap])
+        res = icp.scan_match(target, opts, shard, eye, z)
+        jax.block_until_ready(res)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            res = icp.scan_match(target, opts, shard, eye, z)
+        jax.block_until_ready(res)
+        points[k] = (time.perf_counter() - t0) / repeats
+    eff = {k: points[1] / (points[k] + t_comm_s) / 1.0
+           for k in points}
+    return {
+        "backend": jax.default_backend(),
+        "n_source": n_source,
+        "ms_per_scan_at_shard_1_over_k": {
+            k: round(v * 1e3, 3) for k, v in points.items()},
+        "t_comm_budget_us": 100,
+        "projected_strong_scaling_speedup": {
+            k: round(eff[k], 2) for k in eff},
+        "projected_efficiency_pct": {
+            k: round(100.0 * eff[k] / k, 1) for k in eff},
+    }
+
+
+def bench_scaling_cpu_mesh() -> dict:
+    """Partition-correctness curve on the virtual CPU mesh (subprocess so the
+    platform choice doesn't disturb the main process). NOT a speedup
+    measurement — this host has ~2 physical cores."""
+    script = r"""
+import json, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+import numpy as np, jax.numpy as jnp
+from loc_lib_tpu.io import synthetic
+from loc_lib_tpu.models import icp
+from loc_lib_tpu.parallel import mesh as mesh_mod, match as pmatch
+world = synthetic.make_world(num_points=40000, extent=60.0, seed=3)
+traj = synthetic.make_trajectory(num_frames=2, dt=0.1, speed=2.0)
+tgt = synthetic.render_scan(world, traj.R[0], traj.t[0], max_points=8192,
+                            noise=0.005, seed=0, capacity=8192)
+src = synthetic.render_scan(world, traj.R[1], traj.t[1], max_points=8192,
+                            noise=0.005, seed=1, capacity=8192)
+opts = icp.IcpOptions(method="p2plane")
+target = icp.set_target(tgt, opts)
+out = {}
+for n in (1, 2, 4, 8):
+    m = mesh_mod.make_mesh(n)
+    res = pmatch.icp_scan_match(m, target, opts, src, jnp.eye(3), jnp.zeros(3))
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        res = pmatch.icp_scan_match(m, target, opts, src,
+                                    jnp.eye(3), jnp.zeros(3))
+    jax.block_until_ready(res)
+    out[n] = (time.perf_counter() - t0) / 5
+print(json.dumps({str(k): round(v * 1e3, 2) for k, v in out.items()}))
+"""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run([sys.executable, "-c", script], env=env, cwd=REPO,
+                         capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    ms = json.loads(out.stdout.strip().splitlines()[-1])
+    ncores = os.cpu_count()
+    return {"ms_per_scan_vs_virtual_devices": ms,
+            "physical_cores": ncores,
+            "note": "virtual CPU mesh on an oversubscribed host: validates "
+                    "program partitioning, not hardware speedup"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes (CI smoke), skip the TPU sections")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SUITE.json"))
+    args = ap.parse_args()
+
+    frames = 12 if args.quick else 40
+    cap = 2048 if args.quick else 8192
+
+    suite = {"quick": bool(args.quick)}
+    for name, fn in [
+        ("lio_full_log", lambda: bench_lio("icp", frames, cap)),
+        ("lio_full_log_vox",
+         lambda: bench_lio("icp", frames, cap, icp_method="p2plane_vox")),
+        ("ndt_inc_odometry", lambda: bench_lio("ndt_inc", frames, cap)),
+        ("slam3d_loop", lambda: bench_slam3d(46, min(cap, 2048))),
+        ("scaling_tpu_projection",
+         lambda: bench_scaling_tpu(65536, 8192, 10 if args.quick else 30)),
+        ("scaling_cpu_mesh", bench_scaling_cpu_mesh),
+    ]:
+        t0 = time.perf_counter()
+        try:
+            suite[name] = fn()
+            suite[name]["bench_wall_s"] = round(time.perf_counter() - t0, 1)
+            print(f"[suite] {name}: {json.dumps(suite[name])}",
+                  file=sys.stderr)
+        except Exception as e:  # record the failure, keep the artifact
+            suite[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"[suite] {name} FAILED: {e}", file=sys.stderr)
+
+    with open(args.out, "w") as f:
+        json.dump(suite, f, indent=1)
+    print(json.dumps({"artifact": args.out,
+                      "sections": {k: ("ok" if "error" not in v else "error")
+                                   for k, v in suite.items() if k != "quick"}}))
+
+
+if __name__ == "__main__":
+    main()

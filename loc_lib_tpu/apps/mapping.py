@@ -47,6 +47,7 @@ def run_mapping(log: logdir.SensorLog, opts: lio_mod.LioOptions,
     enu = None
     timer = StageTimer()
     stamps = []
+    frame_idxs = []
     for mg in log.measures(imu_capacity=64):
         if mg.scan_index < start:
             continue
@@ -68,6 +69,7 @@ def run_mapping(log: logdir.SensorLog, opts: lio_mod.LioOptions,
                                      jnp.asarray(mg.imu_stamp),
                                      jnp.asarray(mg.imu_valid))
         stamps.append(mg.scan_stamp)
+        frame_idxs.append(mg.scan_index)
         if bool(out.is_keyframe):
             with timer.stage("kf_store"):
                 xyz = log.scan_xyz[mg.scan_index][log.scan_mask[mg.scan_index]]
@@ -85,6 +87,13 @@ def run_mapping(log: logdir.SensorLog, opts: lio_mod.LioOptions,
     np.savez(os.path.join(out_dir, "global_map.npz"), xyz=gmap)
     report = {"frames": len(poses), "keyframes": len(kf_store),
               "map_points": int(len(gmap)), "stage_ms": timer.report()}
+    # ATE vs ground truth when the log carries it (BASELINE.md plan item 3:
+    # the reference never measured this — eyeballed in rviz, SURVEY.md §4)
+    if log.gt_poses is not None and len(poses) >= 3:
+        from ..eval import metrics
+        a = metrics.ate(poses, log.gt_poses[np.asarray(frame_idxs)])
+        report["ate_rmse_m"] = round(a.rmse, 4)
+        report["ate_max_m"] = round(a.max, 4)
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
     return report

@@ -398,11 +398,17 @@ class Lio:
         return out
 
     def _record(self, out: StepResult):
+        # ONE batched device->host pull: on a remote/tunneled chip every
+        # transfer pays a full round trip (~25 ms measured through the axon
+        # tunnel), so fetching R, t and the keyframe flag separately triples
+        # the per-scan host cost; device_get also populates each array's
+        # host cache, making callers' later bool(out.is_keyframe) free.
+        R, t, is_kf = jax.device_get((out.R, out.t, out.is_keyframe))
         T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = np.asarray(out.R)
-        T[:3, 3] = np.asarray(out.t)
+        T[:3, :3] = R
+        T[:3, 3] = t
         self.poses.append(T)
-        if bool(out.is_keyframe):
+        if bool(is_kf):
             self.kf_poses.append(T)
 
     def apply_correction(self, dR: np.ndarray, dt: np.ndarray) -> None:

@@ -200,11 +200,14 @@ class Loc:
 
     def update_cloud(self, scan: PointCloud) -> StepResult:
         self.state, out = step(self.state, scan, self.opts)
+        # one batched device->host pull per scan (tunnel RTT ~25 ms each;
+        # see lio.Lio._record)
+        R, t, recrop = jax.device_get((out.R, out.t, out.need_recrop))
         T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = np.asarray(out.R)
-        T[:3, 3] = np.asarray(out.t)
+        T[:3, :3] = R
+        T[:3, 3] = t
         self.poses.append(T)
-        if bool(out.need_recrop):
+        if bool(recrop):
             self._recrop()
         return out
 

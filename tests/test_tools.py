@@ -106,6 +106,9 @@ def test_mapping_app_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "global_map.npz"))
     assert report["keyframes"] == len(
         json.load(open(os.path.join(out, "key_frames/manifest.json")))["poses"])
+    # pinned accuracy regression threshold (BASELINE.md plan item 3): the
+    # demo log carries ground truth, and the report must record ATE under it
+    assert report["ate_rmse_m"] < 0.3, report
 
 
 @pytest.mark.slow
