@@ -70,6 +70,9 @@ class IcpOptions:
     # and minimum merged point count (the reference requires 5 NN, cpp:171).
     plane_fit_eps: float = 1e-2
     plane_min_pts: int = 5
+    # p2line_vox: anisotropy gate — the principal eigenvalue must dominate
+    # the cross-sectional ones by this ratio for a voxel to carry a line.
+    line_ratio: float = 3.0
     # static dims of the O(1) dense voxel index window (voxels per axis)
     dense_dims: tuple = (256, 256, 64)
 
@@ -84,18 +87,21 @@ class IcpTarget(NamedTuple):
     plane_mu: Optional[jax.Array] = None     # (V, 3) merged centroid
     plane_valid: Optional[jax.Array] = None  # (V,) bool
     dense: Optional[voxel.DenseIndex] = None
+    # p2line_vox extras: rows [mu(3), W(9 row-major), valid] where
+    # W W^T = I - d d^T (the perpendicular projector of the voxel's line
+    # direction d) — the generalized-Gaussian form the fused kernel consumes.
+    line_packed: Optional[jax.Array] = None  # (V, 13)
+    line_dir: Optional[jax.Array] = None     # (V, 3) kept for tests
 
 
-def _build_plane_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
-                       dense: voxel.DenseIndex):
-    """Per-voxel plane from neighbor-merged Gaussian moments (VGICP-style).
-
-    One-time target-side cost: voxel first/second moments by segment reduce,
-    then each voxel merges the count-weighted moments of itself + its 6 face
-    neighbors (so planes stay continuous across voxel borders and reach the
-    reference's >=5-point support even in sparse cells), normal = smallest
-    eigenvector. Table rows align with grid.voxel_keys slots (identical keys
-    -> identical segment order; asserted by test_icp_vox)."""
+def _merged_moments(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
+                    dense: voxel.DenseIndex):
+    """Neighbor-merged Gaussian moments per voxel (VGICP-style): voxel
+    first/second moments by segment reduce, then each voxel merges the
+    count-weighted moments of itself + its 6 face neighbors (so local
+    geometry stays continuous across voxel borders and reaches the
+    reference's >=5-point support even in sparse cells). Table rows align
+    with grid.voxel_keys slots. Returns (n, mu, cov)."""
     stats = voxel.voxel_stats(pc, opts.grid_leaf, origin=grid.origin,
                               mode="floor")
     coords = voxel.key_to_coords(stats.keys)                    # (V, 3)
@@ -113,6 +119,49 @@ def _build_plane_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
     s2 = jnp.sum(s2_k, axis=1)                                  # (V, 3, 3)
     mu = s1 / jnp.maximum(n, 1.0)[:, None]
     cov = s2 / jnp.maximum(n, 1.0)[:, None, None] - mu[:, :, None] * mu[:, None, :]
+    return n, mu, cov, stats.keys
+
+
+def _build_line_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
+                      dense: voxel.DenseIndex):
+    """Per-voxel LINE from the merged moments: direction = principal
+    eigenvector; a voxel carries a line only when that direction dominates
+    the cross-section (line_ratio) with >= plane_min_pts support (the
+    reference's P2Line requires 5 NN + a cross-residual gate,
+    icp_registration.cpp:115-128). The residual machinery is the fused NDT
+    kernel with per-voxel information I - d d^T (the perpendicular
+    projector): e^T (I - dd^T) e is exactly the squared line distance
+    |d x (qs - mu)|^2, so gate, residual, Jacobian and H/b all reduce to
+    the generalized-Gaussian form."""
+    n, mu, cov, keys = _merged_moments(pc, grid, opts, dense)
+    vals, vecs = mathx.eigh_sym3x3(cov)
+    d = vecs[..., :, 2]                                         # principal
+    valid = ((n >= opts.plane_min_pts)
+             & (vals[..., 2] >= opts.line_ratio
+                * (vals[..., 0] + vals[..., 1]))
+             & (keys != voxel.INVALID_KEY)
+             & jnp.isfinite(vecs).all(axis=(-2, -1)))
+    # exact square-root factor of the projector I - dd^T: the orthonormal
+    # perpendicular eigenvector pair W = [v0 v1 0] (W W^T = v0 v0^T +
+    # v1 v1^T = I - dd^T) — no Cholesky of a rank-deficient matrix needed
+    v0 = vecs[..., :, 0]
+    v1 = vecs[..., :, 1]
+    zero = jnp.zeros_like(v0[..., 0:1])
+    W = jnp.concatenate(
+        [v0[..., 0:1], v1[..., 0:1], zero,
+         v0[..., 1:2], v1[..., 1:2], zero,
+         v0[..., 2:3], v1[..., 2:3], zero], axis=-1)            # (V, 9)
+    W = jnp.where(valid[:, None], W, 0.0)
+    packed = jnp.concatenate(
+        [mu, W, valid[:, None].astype(jnp.float32)], axis=1)    # (V, 13)
+    return packed, jnp.where(valid[:, None], d, 0.0)
+
+
+def _build_plane_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
+                       dense: voxel.DenseIndex):
+    """Per-voxel plane from neighbor-merged Gaussian moments (VGICP-style):
+    normal = smallest eigenvector of the merged covariance."""
+    n, mu, cov, keys = _merged_moments(pc, grid, opts, dense)
     vals, vecs = mathx.eigh_sym3x3(cov)
     nvec = vecs[..., :, 0]
     d = -jnp.sum(nvec * mu, axis=-1, keepdims=True)
@@ -124,7 +173,7 @@ def _build_plane_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
     valid = ((n >= opts.plane_min_pts)
              & (vals[..., 0] <= opts.plane_fit_eps)
              & (vals[..., 1] >= 3.0 * vals[..., 0])
-             & (stats.keys != voxel.INVALID_KEY)
+             & (keys != voxel.INVALID_KEY)
              & jnp.isfinite(plane).all(axis=-1))
     return jnp.where(valid[:, None], plane, 0.0), mu, valid
 
@@ -134,9 +183,13 @@ def set_target(pc: PointCloud, opts: IcpOptions, origin=None) -> IcpTarget:
     """Build the search structure over the target cloud
     (SetInputTarget, icp_registration.cpp:9-29)."""
     grid = voxel.build_hash_grid(pc, opts.grid_leaf, opts.bucket_size, origin)
-    if opts.method != "p2plane_vox":
+    if opts.method not in ("p2plane_vox", "p2line_vox"):
         return IcpTarget(grid=grid)
     dense = voxel.build_dense_index(grid.voxel_keys, dims=opts.dense_dims)
+    if opts.method == "p2line_vox":
+        line_packed, line_dir = _build_line_table(pc, grid, opts, dense)
+        return IcpTarget(grid=grid, dense=dense, line_packed=line_packed,
+                         line_dir=line_dir)
     plane, plane_mu, plane_valid = _build_plane_table(pc, grid, opts, dense)
     packed = jnp.concatenate(
         [plane, plane_mu, plane_valid[:, None].astype(jnp.float32)], axis=1)
@@ -254,8 +307,37 @@ def _p2plane_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, 
     return H, b, n_eff, chi2
 
 
+def _p2line_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
+    """Voxel-line P2Line linearization.
+
+    Correspondence = nearest-centroid VALID line voxel among the NEARBY6
+    stencil (same election as p2plane_vox); linearization = the fused NDT
+    kernel in weighted mode with per-voxel information I - d d^T, whose
+    chi2 |L^T e|^2 is exactly the squared perpendicular line distance —
+    gated at max_line_distance^2, matching the reference's |e| <=
+    max_line_distance accumulation gate (icp_registration.cpp:132-135)."""
+    q = src.xyz
+    qs = q @ R.T + t
+    qcoords = voxel.voxel_coords(qs, target.grid.inv_leaf, target.grid.origin)
+    keys7 = voxel.coords_to_key(
+        qcoords[:, None, :] + voxel.NEARBY6[None, :, :], src.mask[:, None])
+    slot7, found7 = voxel.lookup_dense(target.dense, opts.dense_dims, keys7)
+    rows7 = target.line_packed[slot7]                        # (N, 7, 13)
+    valid7 = found7 & (rows7[..., 12] > 0.5)
+    d2 = jnp.sum((rows7[..., 0:3] - qs[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid7, d2, jnp.inf)
+    pick = jnp.argmin(d2, axis=1)
+    rows = jnp.take_along_axis(rows7, pick[:, None, None], axis=1)[:, 0]
+    w = (jnp.any(valid7, axis=1) & src.mask).astype(jnp.float32)
+    return pallas_kernels.ndt_fused_terms(
+        q, qs, rows[:, None, 0:3], rows[:, None, 3:12], w[:, None], R, t,
+        opts.max_line_distance ** 2, weighted=True,
+        interpret=not pallas_kernels.on_tpu())
+
+
 _TERM_FNS = {"p2p": _p2p_terms, "p2line": _p2line_terms,
-             "p2plane": _p2plane_terms, "p2plane_vox": _p2plane_vox_terms}
+             "p2plane": _p2plane_terms, "p2plane_vox": _p2plane_vox_terms,
+             "p2line_vox": _p2line_vox_terms}
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))

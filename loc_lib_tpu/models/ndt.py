@@ -83,7 +83,7 @@ class NdtMap(NamedTuple):
     age       : (V,) int32 — epoch last touched (incremental eviction)
     epoch     : () int32 — number of updates applied
     origin    : (3,) float32 key-window origin
-    packed    : (V, 10) [mu(3), chol(info) packed L(6), est(1)] — ONE row
+    packed    : (V, 13) [mu(3), W(9) row-major sqrt factor, est(1)] — ONE row
                 gather per stencil probe feeds the fused Pallas kernel
                 (None when opts.use_fused=False)
     dense_table, dense_lo : O(1) voxel->slot index (ops.voxel.DenseIndex
@@ -105,14 +105,15 @@ class NdtMap(NamedTuple):
 
 
 def _finalize_map(m: NdtMap, opts: NdtOptions) -> NdtMap:
-    """Attach the fused-path acceleration structures: Cholesky-packed rows
-    (info = L L^T, so the kernel's |L^T e|^2 IS the reference's chi2 gate
-    e^T info e) and the dense O(1) slot index."""
+    """Attach the fused-path acceleration structures: square-root-factored
+    rows (info = W W^T via Cholesky, so the kernel's |W^T e|^2 IS the
+    reference's chi2 gate e^T info e) and the dense O(1) slot index."""
     if not opts.use_fused:
         return m
     L = mathx.cholesky_3x3(jnp.where(m.estimated[:, None, None], m.info, 0.0))
+    W = mathx.cholesky_3x3_unpack(L).reshape(-1, 9)   # row-major full 3x3
     packed = jnp.concatenate(
-        [m.mean, L, m.estimated[:, None].astype(jnp.float32)], axis=1)
+        [m.mean, W, m.estimated[:, None].astype(jnp.float32)], axis=1)
     dense = voxel.build_dense_index(m.keys, dims=opts.dense_dims)
     return m._replace(packed=packed, dense_table=dense.table,
                       dense_lo=dense.lo)
@@ -286,10 +287,10 @@ def _ndt_terms(m: NdtMap, opts: NdtOptions, src: PointCloud, R, t, weighted: boo
         # kernel: residual, chi2 gate, Jacobian, H/b in a single pass
         dense = voxel.DenseIndex(table=m.dense_table, lo=m.dense_lo)
         slot, found = voxel.lookup_dense(dense, opts.dense_dims, nb_keys)
-        rows = m.packed[slot]                            # (N, S, 10)
-        valid = (found & (rows[..., 9] > 0.5)).astype(jnp.float32)
+        rows = m.packed[slot]                            # (N, S, 13)
+        valid = (found & (rows[..., 12] > 0.5)).astype(jnp.float32)
         return pallas_kernels.ndt_fused_terms(
-            q, qs, rows[..., 0:3], rows[..., 3:9], valid, R, t,
+            q, qs, rows[..., 0:3], rows[..., 3:12], valid, R, t,
             opts.res_outlier_th, weighted,
             interpret=not pallas_kernels.on_tpu())
 

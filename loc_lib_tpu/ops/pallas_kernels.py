@@ -121,24 +121,27 @@ _NDT_TILE = 2048
 
 
 def _make_ndt_kernel(S: int, weighted: bool):
-    """Fused NDT linearization over a static stencil of S voxels per point.
+    """Fused generalized-Gaussian linearization over a static stencil of S
+    voxels per point.
 
-    Folds the per-voxel information matrix through its pre-computed Cholesky
-    factor (info = L L^T, models/ndt.py packs L at map-build time): each
-    (point, stencil) residual contributes rows
+    The per-voxel information matrix rides as a pre-computed square-root
+    factor W with info = W W^T (models/ndt.py packs chol(info); the P2Line
+    voxel table packs the orthonormal perpendicular pair [v0 v1 0], which is
+    EXACT for the rank-2 projector I - dd^T). Each (point, stencil) residual
+    contributes rows
 
-        weighted   a_i = w * [ (L^T J)_i(6) | (L^T e)_i | flag_i ]
+        weighted   a_i = w * [ (W^T J)_i(6) | (W^T e)_i | flag_i ]
         direct     a_i = w * [       J_i(6) |       e_i | flag_i ]
 
     with J = [-R hat(q) | I] (ndt_registration.cpp:330-332), the chi2 gate
-    res = |L^T e|^2 = e^T info e <= th evaluated from the SAME z rows, and
+    res = |W^T e|^2 = e^T info e <= th evaluated from the SAME z rows, and
     flag_0 = 1 counting residuals. G = sum a a^T on the MXU then yields
     H = G[:6,:6], b = -G[:6,6], chi2 = G[6,6], n_res = G[7,7] — the exact
     weighted/unweighted systems of AlignIncNdt/AlignNdt
     (cpp:344-347 / 425-433) with zero intermediate HBM traffic.
     """
 
-    def kernel(pose_ref, q_ref, qs_ref, mu_ref, L_ref, valid_ref, out_ref):
+    def kernel(pose_ref, q_ref, qs_ref, mu_ref, W_ref, valid_ref, out_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -155,31 +158,30 @@ def _make_ndt_kernel(S: int, weighted: bool):
 
         acc = jnp.zeros((8, 8), jnp.float32)
         for s in range(S):
-            e0 = qsx - mu_ref[3 * s + 0:3 * s + 1, :]
-            e1 = qsy - mu_ref[3 * s + 1:3 * s + 2, :]
-            e2 = qsz - mu_ref[3 * s + 2:3 * s + 3, :]
-            l = [L_ref[6 * s + k:6 * s + k + 1, :] for k in range(6)]
-            l00, l10, l11, l20, l21, l22 = l
-            z0 = l00 * e0 + l10 * e1 + l20 * e2
-            z1 = l11 * e1 + l21 * e2
-            z2 = l22 * e2
-            res = z0 * z0 + z1 * z1 + z2 * z2
+            e = [qsx - mu_ref[3 * s + 0:3 * s + 1, :],
+                 qsy - mu_ref[3 * s + 1:3 * s + 2, :],
+                 qsz - mu_ref[3 * s + 2:3 * s + 3, :]]
+            # W rows: fac[k*3+j] = W[k, j]
+            W = [[W_ref[9 * s + k * 3 + j:9 * s + k * 3 + j + 1, :]
+                  for j in range(3)] for k in range(3)]
+            zr = [W[0][i_] * e[0] + W[1][i_] * e[1] + W[2][i_] * e[2]
+                  for i_ in range(3)]                       # z = W^T e
+            res = zr[0] * zr[0] + zr[1] * zr[1] + zr[2] * zr[2]
             w = valid_ref[s:s + 1, :] * (res <= th).astype(jnp.float32)
             one = jnp.ones_like(w)
             zero = jnp.zeros_like(w)
             if weighted:
-                # M = L^T R (3x3 of (1,T) rows); B_rot = -M hat(q); B_t = L^T
-                M = [[l00 * R[0][j] + l10 * R[1][j] + l20 * R[2][j]
-                      for j in range(3)],
-                     [l11 * R[1][j] + l21 * R[2][j] for j in range(3)],
-                     [l22 * R[2][j] for j in range(3)]]
-                Bt = [[l00, l10, l20], [zero, l11, l21], [zero, zero, l22]]
-                zrow = [z0, z1, z2]
+                # M = W^T R (3x3 of (1,T) rows); B_rot = -M hat(q); B_t = W^T
+                M = [[W[0][i_] * R[0][j] + W[1][i_] * R[1][j]
+                      + W[2][i_] * R[2][j] for j in range(3)]
+                     for i_ in range(3)]
+                Bt = [[W[j][i_] for j in range(3)] for i_ in range(3)]
+                zrow = zr
             else:
                 M = R  # rows of J_rot come from -R hat(q) directly
                 eye = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
                 Bt = eye
-                zrow = [e0, e1, e2]
+                zrow = e
             for i_row in range(3):
                 m0, m1, m2 = M[i_row][0], M[i_row][1], M[i_row][2]
                 a = jnp.concatenate([
@@ -200,21 +202,21 @@ def _make_ndt_kernel(S: int, weighted: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("weighted", "interpret"))
-def ndt_fused_terms(q, qs, mu, L, valid, R, t, outlier_th, weighted,
+def ndt_fused_terms(q, qs, mu, W, valid, R, t, outlier_th, weighted,
                     interpret=False):
-    """Fused NDT linearization.
+    """Fused generalized-Gaussian linearization.
 
     q (N, 3) body points, qs (N, 3) world points, mu (N, S, 3) gathered
-    voxel means, L (N, S, 6) packed Cholesky factors of the voxel info,
-    valid (N, S) float 0/1, R (3,3), outlier_th chi2 gate.
-    Returns (H (6,6), b (6,), n_res () int32, chi2 ()).
+    voxel means, W (N, S, 9) row-major square-root factors of the voxel
+    info (info = W W^T), valid (N, S) float 0/1, R (3,3), outlier_th chi2
+    gate. Returns (H (6,6), b (6,), n_res () int32, chi2 ()).
     """
     n, S = valid.shape
     pad = (-n) % _NDT_TILE
     if pad:
         zf = lambda a: jnp.concatenate(
             [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-        q, qs, mu, L, valid = zf(q), zf(qs), zf(mu), zf(L), zf(valid)
+        q, qs, mu, W, valid = zf(q), zf(qs), zf(mu), zf(W), zf(valid)
     n_pad = n + pad
     pose = jnp.concatenate([
         jnp.reshape(R, (9,)).astype(jnp.float32),
@@ -232,7 +234,7 @@ def ndt_fused_terms(q, qs, mu, L, valid, R, t, outlier_th, weighted,
             pl.BlockSpec((3, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * S, T), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6 * S, T), lambda i: (0, i),
+            pl.BlockSpec((9 * S, T), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -244,7 +246,7 @@ def ndt_fused_terms(q, qs, mu, L, valid, R, t, outlier_th, weighted,
       q.astype(jnp.float32).T,
       qs.astype(jnp.float32).T,
       mu.astype(jnp.float32).transpose(1, 2, 0).reshape(3 * S, n_pad),
-      L.astype(jnp.float32).transpose(1, 2, 0).reshape(6 * S, n_pad),
+      W.astype(jnp.float32).transpose(1, 2, 0).reshape(9 * S, n_pad),
       valid.astype(jnp.float32).T)
     G = out[:, :8]
     H = G[:6, :6]

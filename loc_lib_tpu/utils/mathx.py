@@ -228,16 +228,24 @@ def cholesky_3x3(A: jax.Array):
     accumulates plain outer products (H = B^T B) on the MXU — no per-point
     3x3 quadratic forms in the hot loop. Degenerate inputs (zero info of a
     non-estimated voxel) produce zeros, not NaNs."""
+    # Off-diagonal solves are CLIPPED to their exact-arithmetic PSD bounds
+    # (|L_ij| <= sqrt(A_jj-ish)): a rank-deficient input whose tiny diagonal
+    # cancels to 0 in f32 while its off-diagonal keeps rounding error (e.g.
+    # the projector I - dd^T for d one float-ulp off unit) would otherwise
+    # cascade the division by sqrt(eps) into astronomically large factors.
     eps = jnp.float32(1e-12)
     a00 = jnp.maximum(A[..., 0, 0], 0.0)
+    a11 = jnp.maximum(A[..., 1, 1], 0.0)
+    a22 = jnp.maximum(A[..., 2, 2], 0.0)
     l00 = jnp.sqrt(a00 + eps)
-    inv00 = 1.0 / l00
-    l10 = A[..., 1, 0] * inv00
-    l20 = A[..., 2, 0] * inv00
-    d11 = jnp.maximum(A[..., 1, 1] - l10 * l10, 0.0)
+    clip = lambda x, b: jnp.clip(x, -b, b)
+    l10 = clip(A[..., 1, 0] / l00, jnp.sqrt(a11 + eps))
+    l20 = clip(A[..., 2, 0] / l00, jnp.sqrt(a22 + eps))
+    d11 = jnp.maximum(a11 - l10 * l10, 0.0)
     l11 = jnp.sqrt(d11 + eps)
-    l21 = (A[..., 2, 1] - l20 * l10) / l11
-    d22 = jnp.maximum(A[..., 2, 2] - l20 * l20 - l21 * l21, 0.0)
+    d22_bound = jnp.sqrt(jnp.maximum(a22 - l20 * l20, 0.0) + eps)
+    l21 = clip((A[..., 2, 1] - l20 * l10) / l11, d22_bound)
+    d22 = jnp.maximum(a22 - l20 * l20 - l21 * l21, 0.0)
     l22 = jnp.sqrt(d22 + eps)
     packed = jnp.stack([l00, l10, l11, l20, l21, l22], axis=-1)
     # exact-zero input -> exact-zero factor (est=False voxels carry info=0)

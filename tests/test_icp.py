@@ -203,3 +203,86 @@ def test_fused_terms_match_reference_formula():
     assert int(n_eff) == int(wf.sum())
     np.testing.assert_allclose(float(chi2), float((dis**2 * wf).sum()),
                                rtol=1e-4)
+
+
+def _line_field_cloud(seed=0, n_per=60, noise=0.003):
+    """Points sampled on axis-aligned lines in all three directions — a
+    fully 6-DoF-constraining line field for P2Line testing."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for axis in range(3):
+        for _ in range(14):
+            off = rng.uniform(-6, 6, 3)
+            p = np.tile(off, (n_per, 1))
+            p[:, axis] = rng.uniform(-8, 8, n_per)
+            pts.append(p)
+    pts = np.concatenate(pts)
+    pts = pts + rng.normal(0, noise, pts.shape)
+    return pts.astype(np.float32)
+
+
+def test_line_table_directions():
+    from loc_lib_tpu.utils import mathx as mx
+    pts = _line_field_cloud()
+    pc = pcm.from_numpy(pts, capacity=4096)
+    opts = icp.IcpOptions(method="p2line_vox", grid_leaf=1.0, plane_min_pts=4)
+    target = icp.set_target(pc, opts)
+    valid = np.asarray(target.line_packed[:, 12]) > 0.5
+    assert valid.sum() > 50
+    d = np.asarray(target.line_dir)[valid]
+    # every valid voxel's direction is (close to) one coordinate axis
+    # most valid voxels align with a coordinate axis; the rest sit where
+    # two lines cross a merged neighborhood (their blended direction still
+    # passes the anisotropy gate — acceptable, they are few)
+    ax = np.abs(d).max(axis=1)
+    assert (ax > 0.99).mean() > 0.75
+    # packed W reproduces the perpendicular projector I - d d^T
+    W = np.asarray(target.line_packed)[valid][:, 3:12].reshape(-1, 3, 3)
+    info = W @ W.transpose(0, 2, 1)
+    ref = np.eye(3)[None] - d[:, :, None] * d[:, None, :]
+    np.testing.assert_allclose(info, ref, rtol=0, atol=5e-3)
+
+
+def test_p2line_vox_recovers_pose():
+    pts = _line_field_cloud()
+    tgt = pcm.from_numpy(pts, capacity=4096)
+    R_true = np.asarray(lie.so3_exp(jnp.array([0.004, -0.006, 0.02],
+                                              jnp.float32)))
+    t_true = np.array([0.15, -0.1, 0.05], np.float32)
+    src_np = ((pts - t_true) @ R_true).astype(np.float32)
+    src = pcm.from_numpy(src_np, capacity=4096)
+    opts = icp.IcpOptions(method="p2line_vox", grid_leaf=1.0,
+                          plane_min_pts=4, max_line_distance=0.5)
+    target = icp.set_target(tgt, opts)
+    res = icp.scan_match(target, opts, src, jnp.eye(3), jnp.zeros(3))
+    assert np.linalg.norm(np.asarray(res.t) - t_true) < 0.03, np.asarray(res.t)
+    assert np.linalg.norm(np.asarray(res.R) - R_true) < 0.02
+    assert int(res.num_effective) > 500
+
+
+def test_loam_vox_fused_recovers_pose():
+    """LOAM with both fused voxel methods (surf=p2plane_vox,
+    edge=p2line_vox): the production TPU configuration of the reference's
+    edge+surf joint solve (loam_registration.cpp:38-99)."""
+    from loc_lib_tpu.models import loam
+    rng = np.random.default_rng(11)
+    planes = _structured_scene(rng)
+    lines = _line_field_cloud(seed=3)
+    R_true = np.asarray(lie.so3_exp(jnp.array([0.01, -0.01, 0.02],
+                                              jnp.float32)))
+    t_true = np.array([0.12, -0.08, 0.05], np.float32)
+    mk = lambda pts, cap: pcm.from_numpy(pts, capacity=cap)
+    opts = loam.LoamOption(
+        surf_icp=icp.IcpOptions(method="p2plane_vox",
+                                dense_dims=(64, 64, 32)),
+        edge_icp=icp.IcpOptions(method="p2line_vox", plane_min_pts=4,
+                                max_line_distance=0.5,
+                                dense_dims=(64, 64, 32)))
+    target = loam.set_target(mk(lines, 4096), mk(planes, 2048), opts)
+    e_src = mk(((lines - t_true) @ R_true).astype(np.float32), 4096)
+    s_src = mk(((planes - t_true) @ R_true).astype(np.float32), 2048)
+    res = loam.scan_match(target, opts, e_src, s_src,
+                          jnp.eye(3), jnp.zeros(3))
+    assert np.linalg.norm(np.asarray(res.t) - t_true) < 0.03
+    assert np.linalg.norm(np.asarray(res.R) - R_true) < 0.02
+    assert int(res.num_effective) > 1000

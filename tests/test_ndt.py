@@ -32,13 +32,13 @@ def test_finalize_packs_cholesky_of_info():
     opts = ndt.NdtOptions(voxel_size=2.0)
     m = ndt.build_direct(tgt, opts)
     est = np.asarray(m.estimated)
-    L = np.asarray(mathx.cholesky_3x3_unpack(m.packed[:, 3:9]))
+    W = np.asarray(m.packed)[:, 3:12].reshape(-1, 3, 3)
     info = np.asarray(m.info)
-    np.testing.assert_allclose((L @ L.transpose(0, 2, 1))[est], info[est],
+    np.testing.assert_allclose((W @ W.transpose(0, 2, 1))[est], info[est],
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(m.packed[:, 0:3]),
                                np.asarray(m.mean), atol=0)
-    np.testing.assert_array_equal(np.asarray(m.packed[:, 9]) > 0.5, est)
+    np.testing.assert_array_equal(np.asarray(m.packed[:, 12]) > 0.5, est)
 
 
 @pytest.mark.parametrize("method", ["direct", "incremental"])
