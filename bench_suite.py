@@ -123,6 +123,44 @@ def bench_lio(matcher: str, frames: int, capacity: int,
     }
 
 
+def bench_loc(frames: int, capacity: int) -> dict:
+    """Map-based localization (plan: the reference's 200 Hz design point,
+    lio_matching_node.cpp:19): scans/s against a prior global map with
+    box-crop re-cropping, + ATE."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from loc_lib_tpu.io import logdir, synthetic
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import loc as loc_mod
+    from loc_lib_tpu.eval import metrics
+
+    log = logdir.make_demo_log(num_frames=frames, capacity=capacity,
+                               yaw_rate=0.0, speed=2.0)
+    world = synthetic.make_world(num_points=120000, extent=80.0, seed=0)
+    opts = loc_mod.LocOptions(scan_capacity=capacity)
+    engine = loc_mod.Loc(world, opts)
+    engine.set_init_pose(log.gt_poses[0][:3, :3], log.gt_poses[0][:3, 3])
+
+    warmup = 4
+    times = []
+    for mg in log.measures(imu_capacity=64):
+        scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                          mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+        t0 = time.perf_counter()
+        engine.update_measure(scan, mg.imu_gyro, mg.imu_acce,
+                              mg.imu_stamp, mg.imu_valid)
+        times.append(time.perf_counter() - t0)
+    poses = np.stack(engine.poses)
+    a = metrics.ate(poses, log.gt_poses[: len(poses)])
+    steady = np.asarray(times[warmup:])
+    return {
+        "frames": frames,
+        "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
+        "ms_per_scan_p50": round(float(np.percentile(steady, 50)) * 1e3, 2),
+        "ate_rmse_m": round(a.rmse, 4),
+    }
+
+
 def bench_slam3d(frames: int, capacity: int) -> dict:
     """Loop-closure SLAM on a circular trajectory: ATE before/after the
     two-phase PGO + the solve wall time."""
@@ -308,6 +346,7 @@ def main():
         ("lio_full_log_vox",
          lambda: bench_lio("icp", frames, cap, icp_method="p2plane_vox")),
         ("ndt_inc_odometry", lambda: bench_lio("ndt_inc", frames, cap)),
+        ("loc_matching", lambda: bench_loc(frames, cap)),
         ("slam3d_loop", lambda: bench_slam3d(46, min(cap, 2048))),
         ("scaling_tpu_projection",
          lambda: bench_scaling_tpu(65536, 8192, 10 if args.quick else 30)),

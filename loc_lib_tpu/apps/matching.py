@@ -44,13 +44,14 @@ def run_matching(log: logdir.SensorLog, global_map_xyz: np.ndarray,
     timer = StageTimer()
     stamps = []
     for mg in log.measures(imu_capacity=64):
-        for j in range(len(mg.imu_stamp)):
-            if mg.imu_valid[j]:
-                engine.update_imu(mg.imu_gyro[j], mg.imu_acce[j], mg.imu_stamp[j])
         scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
                           mask=jnp.asarray(log.scan_mask[mg.scan_index]))
         with timer.stage("loc_step"):
-            engine.update_cloud(scan)
+            # IMU packet + scan as ONE device program (the reference polls
+            # Update(imu) per sample at 200 Hz; here the packet rides a
+            # lax.scan inside the same jit as the match)
+            engine.update_measure(scan, mg.imu_gyro, mg.imu_acce,
+                                  mg.imu_stamp, mg.imu_valid)
         stamps.append(mg.scan_stamp)
 
     poses = np.stack(engine.poses) if engine.poses else np.zeros((0, 4, 4))

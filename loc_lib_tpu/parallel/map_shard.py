@@ -296,6 +296,57 @@ def build_direct_sharded(mesh: Mesh, pc: PointCloud, opts: ndt.NdtOptions,
     return ShardedNdtMap(map=m, lo=part.lo, hi=part.hi, overflow=part.overflow)
 
 
+def build_incremental_sharded(mesh: Mesh, pc: PointCloud,
+                              opts: ndt.NdtOptions) -> ShardedNdtMap:
+    """Start a sharded INCREMENTAL NDT map from the first scan: slab
+    boundaries come from the first scan's point distribution and stay FIXED
+    for the map's lifetime (each voxel has one owner forever, so updates
+    and matching never need cross-shard reconciliation). Each shard holds
+    its own bounded table of opts.map_capacity voxels — total capacity
+    scales with the mesh (the round-1 gap: one device's HBM capped the
+    map). Re-balancing = rebuild.
+    Reference analog being scaled: the 100k-voxel LRU table,
+    ndt_registration.cpp:150-174."""
+    mp = mesh.shape["mp"]
+    part = partition_slabs(pc, opts.voxel_size, mp, pc.capacity,
+                           halo=0, mode="trunc")
+
+    @jax.jit
+    def build(xyz, mask):
+        def one(x, m):
+            m0 = ndt.empty_incremental(opts)
+            return ndt.update_incremental(m0, PointCloud(xyz=x, mask=m), opts)
+        return jax.vmap(one)(xyz, mask)
+
+    m = build(part.xyz, part.mask)
+    m = jax.device_put(
+        m, jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P("mp")), m))
+    return ShardedNdtMap(map=m, lo=part.lo, hi=part.hi, overflow=part.overflow)
+
+
+def update_incremental_sharded(mesh: Mesh, sm: ShardedNdtMap, pc: PointCloud,
+                               opts: ndt.NdtOptions) -> ShardedNdtMap:
+    """Absorb a new scan: each shard merges exactly the points whose voxel
+    falls in its owned slab (fixed bounds from the build), then runs the
+    standard order-free epoch-evicting merge locally. No halo and no
+    cross-shard traffic — voxel ownership is unique by construction."""
+    inv = 1.0 / opts.voxel_size
+    vx = voxel.voxel_coords(pc.xyz, inv, None, "trunc")[:, 0]
+
+    @jax.jit
+    def upd(m, lo, hi):
+        def one(m_s, lo_s, hi_s):
+            mask = pc.mask & (vx >= lo_s) & (vx < hi_s)
+            return ndt.update_incremental(
+                m_s, PointCloud(xyz=pc.xyz, mask=mask), opts)
+        return jax.vmap(one)(m, lo, hi)
+
+    m = upd(sm.map, sm.lo, sm.hi)
+    m = jax.device_put(
+        m, jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P("mp")), m))
+    return sm._replace(map=m)
+
+
 @functools.partial(jax.jit, static_argnames=("opts", "mesh"))
 def ndt_scan_match_sharded(mesh: Mesh, sm: ShardedNdtMap,
                            opts: ndt.NdtOptions, src: PointCloud,

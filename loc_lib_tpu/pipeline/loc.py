@@ -155,6 +155,21 @@ def predict_imu(state: LocState, gyro, acce, timestamp):
         state.eskf, gyro, acce, timestamp, eskf_mod.EskfOptions()))
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def step_measure(state: LocState, scan: PointCloud,
+                 imu_gyro: jax.Array, imu_acce: jax.Array,
+                 imu_stamp: jax.Array, imu_valid: jax.Array,
+                 opts: LocOptions):
+    """One measure group: ESKF-predict through the padded IMU packet with a
+    single `lax.scan`, then the scan update — one jitted program per frame
+    (the per-sample Update(imu) poll loop of the reference's 200 Hz flow,
+    lio_matching_flow.cpp:89-162, fused device-side)."""
+    new_eskf = eskf_mod.predict_scan(
+        state.eskf, imu_gyro, imu_acce, imu_stamp, imu_valid,
+        eskf_mod.EskfOptions())
+    return step(state._replace(eskf=new_eskf), scan, opts)
+
+
 def set_init_pose(state: LocState, R, t) -> LocState:
     """SetInitPose (loc.cpp:171-185): seed pose + ESKF nominal."""
     R = jnp.asarray(R, jnp.float32)
@@ -216,6 +231,22 @@ class Loc:
                                  jnp.asarray(gyro, jnp.float32),
                                  jnp.asarray(acce, jnp.float32),
                                  jnp.float32(timestamp))
+
+    def update_measure(self, scan: PointCloud, imu_gyro, imu_acce, imu_stamp,
+                       imu_valid) -> StepResult:
+        """One measure group (IMU packet + scan) as a single device program;
+        same host-side recrop/record handling as update_cloud."""
+        self.state, out = step_measure(
+            self.state, scan, jnp.asarray(imu_gyro), jnp.asarray(imu_acce),
+            jnp.asarray(imu_stamp), jnp.asarray(imu_valid), self.opts)
+        R, t, recrop = jax.device_get((out.R, out.t, out.need_recrop))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        self.poses.append(T)
+        if bool(recrop):
+            self._recrop()
+        return out
 
     def current_pose(self) -> np.ndarray:
         T = np.eye(4, dtype=np.float32)

@@ -112,3 +112,42 @@ def test_sharded_ndt_matches_single_device():
     np.testing.assert_allclose(np.asarray(dist.t), np.asarray(ref.t), atol=2e-3)
     np.testing.assert_allclose(np.asarray(dist.R), np.asarray(ref.R), atol=2e-3)
     assert int(dist.num_effective) == int(ref.num_effective)
+
+
+def test_sharded_incremental_ndt_update_matches_single_device():
+    """Sharded incremental NDT: build from scan 1, absorb scan 2, match —
+    must agree with the single-device incremental map over both scans."""
+    import dataclasses
+    m = mesh_mod.make_mesh_2d(2, 4)
+    traj = synthetic.make_trajectory(num_frames=3, dt=0.1, speed=2.0)
+    scans = [synthetic.render_scan(WORLD, traj.R[k], traj.t[k],
+                                   max_points=4096, noise=0.005, seed=k,
+                                   capacity=4096) for k in range(3)]
+    # express scans 0/1 in the world frame (map frame) before absorbing
+    import jax.numpy as jnp
+    from loc_lib_tpu.ops.pointcloud import PointCloud, PAD_COORD
+
+    def to_world(pc, R, t):
+        xyz = pc.xyz @ jnp.asarray(R).T + jnp.asarray(t)
+        xyz = jnp.where(pc.mask[:, None], xyz, PAD_COORD)
+        return PointCloud(xyz=xyz, mask=pc.mask)
+
+    w0 = to_world(scans[0], traj.R[0], traj.t[0])
+    w1 = to_world(scans[1], traj.R[1], traj.t[1])
+    opts = ndt.NdtOptions(voxel_size=2.0, method="incremental",
+                          map_capacity=16384)
+
+    ref_map = ndt.update_incremental(ndt.empty_incremental(opts), w0, opts)
+    ref_map = ndt.update_incremental(ref_map, w1, opts)
+    R0 = jnp.asarray(traj.R[2]); t0 = jnp.asarray(traj.t[2])
+    ref = ndt.scan_match(ref_map, opts, scans[2], R0, t0)
+
+    sm = map_shard.build_incremental_sharded(m, w0, opts)
+    sm = map_shard.update_incremental_sharded(m, sm, w1, opts)
+    dist = map_shard.ndt_scan_match_sharded(m, sm, opts, scans[2], R0, t0)
+
+    np.testing.assert_allclose(np.asarray(dist.t), np.asarray(ref.t),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dist.R), np.asarray(ref.R),
+                               atol=2e-3)
+    assert int(dist.num_effective) == int(ref.num_effective)
