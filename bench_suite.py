@@ -61,9 +61,9 @@ def bench_lio(matcher: str, frames: int, capacity: int,
 
     log = logdir.make_demo_log(num_frames=frames, capacity=capacity,
                                yaw_rate=0.0, speed=2.0)
-    if matcher == "icp":
+    if matcher in ("icp", "icp_vox_inc"):
         opts = lio_mod.LioOptions(
-            matcher="icp", icp=icp_mod.IcpOptions(method=icp_method),
+            matcher=matcher, icp=icp_mod.IcpOptions(method=icp_method),
             scan_capacity=capacity, with_eskf=True)
     else:
         opts = lio_mod.LioOptions(
@@ -345,6 +345,9 @@ def main():
         ("lio_full_log", lambda: bench_lio("icp", frames, cap)),
         ("lio_full_log_vox",
          lambda: bench_lio("icp", frames, cap, icp_method="p2plane_vox")),
+        ("lio_full_log_vox_inc",
+         lambda: bench_lio("icp_vox_inc", frames, cap,
+                           icp_method="p2plane_vox")),
         ("ndt_inc_odometry", lambda: bench_lio("ndt_inc", frames, cap)),
         ("loc_matching", lambda: bench_loc(frames, cap)),
         ("slam3d_loop", lambda: bench_slam3d(46, min(cap, 2048))),
