@@ -228,6 +228,44 @@ def bench_slam3d(frames: int, capacity: int) -> dict:
     }
 
 
+def bench_mapping2d(frames: int) -> dict:
+    """2D submap SLAM (occupancy grid + likelihood-field matching + loop
+    closure): scans/s + yaw/translation drift vs the synthetic ground truth
+    (the reference's 2D stack, mapping_2d.cpp:65-130, had no numbers)."""
+    _setup_jax()
+    from loc_lib_tpu.io import synthetic
+    from loc_lib_tpu.pipeline import mapping2d as m2d
+
+    world = synthetic.make_world_2d(seed=2)
+    xy = np.zeros((frames, 720, 2), np.float32)
+    valid = np.zeros((frames, 720), bool)
+    gt = []
+    for k in range(frames):
+        a = 0.5 * np.pi * k / frames
+        t = np.array([6 * np.cos(a) - 6, 6 * np.sin(a)], np.float32)
+        xy[k], valid[k] = synthetic.render_scan_2d(world, a, t, seed=k)
+        gt.append((a, t))
+
+    engine = m2d.Mapping2D(m2d.Mapping2dOptions())
+    warmup = 4
+    times, err_t, err_th = [], [], []
+    for k in range(frames):
+        t0 = time.perf_counter()
+        th, t = engine.process_scan(xy[k], valid[k])
+        times.append(time.perf_counter() - t0)
+        err_t.append(np.linalg.norm(np.asarray(t) - gt[k][1]))
+        err_th.append(abs(float(th) - gt[k][0]))
+    steady = np.asarray(times[warmup:])
+    return {
+        "frames": frames,
+        "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
+        "submaps": len(engine.submaps),
+        "loops": len(engine.loops),
+        "trans_rmse_m": round(float(np.sqrt(np.mean(np.square(err_t)))), 4),
+        "yaw_rmse_rad": round(float(np.sqrt(np.mean(np.square(err_th)))), 4),
+    }
+
+
 def bench_scaling_tpu(n_target: int, n_source: int, repeats: int) -> dict:
     """Per-device-shard compute time on the real chip: T(N/k) for
     k=1,2,4,8 source shards, and the projected k-chip strong-scaling
@@ -350,6 +388,7 @@ def main():
                            icp_method="p2plane_vox")),
         ("ndt_inc_odometry", lambda: bench_lio("ndt_inc", frames, cap)),
         ("loc_matching", lambda: bench_loc(frames, cap)),
+        ("mapping2d", lambda: bench_mapping2d(max(frames, 24))),
         ("slam3d_loop", lambda: bench_slam3d(46, min(cap, 2048))),
         ("scaling_tpu_projection",
          lambda: bench_scaling_tpu(65536, 8192, 10 if args.quick else 30)),

@@ -94,6 +94,28 @@ class IcpTarget(NamedTuple):
     line_dir: Optional[jax.Array] = None     # (V, 3) kept for tests
 
 
+def _merge_neighbor_moments(keys, count, mean, cov, dense, dims):
+    """Merge each voxel's count-weighted moments with its 6 face neighbors
+    (rows stay slot-aligned with `keys`). Returns (n, mu, cov)."""
+    coords = voxel.key_to_coords(keys)                          # (V, 3)
+    nb_keys = voxel.coords_to_key(
+        coords[:, None, :] + voxel.NEARBY6[None, :, :],
+        keys[:, None] != voxel.INVALID_KEY)                     # (V, 7)
+    slot, found = voxel.lookup_dense(dense, dims, nb_keys)
+    n_k = jnp.where(found, count[slot], 0.0)                    # (V, 7)
+    mu_k = mean[slot]                                           # (V, 7, 3)
+    # second moments about the origin: S_k = n_k (cov_k + mu_k mu_k^T)
+    s2_k = n_k[..., None, None] * (
+        cov[slot] + mu_k[..., :, None] * mu_k[..., None, :])
+    n = jnp.sum(n_k, axis=1)                                    # (V,)
+    s1 = jnp.sum(n_k[..., None] * mu_k, axis=1)                 # (V, 3)
+    s2 = jnp.sum(s2_k, axis=1)                                  # (V, 3, 3)
+    mu = s1 / jnp.maximum(n, 1.0)[:, None]
+    cov_m = (s2 / jnp.maximum(n, 1.0)[:, None, None]
+             - mu[:, :, None] * mu[:, None, :])
+    return n, mu, cov_m
+
+
 def _merged_moments(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
                     dense: voxel.DenseIndex):
     """Neighbor-merged Gaussian moments per voxel (VGICP-style): voxel
@@ -101,24 +123,11 @@ def _merged_moments(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
     count-weighted moments of itself + its 6 face neighbors (so local
     geometry stays continuous across voxel borders and reaches the
     reference's >=5-point support even in sparse cells). Table rows align
-    with grid.voxel_keys slots. Returns (n, mu, cov)."""
+    with grid.voxel_keys slots. Returns (n, mu, cov, keys)."""
     stats = voxel.voxel_stats(pc, opts.grid_leaf, origin=grid.origin,
                               mode="floor")
-    coords = voxel.key_to_coords(stats.keys)                    # (V, 3)
-    nb_keys = voxel.coords_to_key(
-        coords[:, None, :] + voxel.NEARBY6[None, :, :],
-        stats.keys[:, None] != voxel.INVALID_KEY)               # (V, 7)
-    slot, found = voxel.lookup_dense(dense, opts.dense_dims, nb_keys)
-    n_k = jnp.where(found, stats.count[slot], 0.0)              # (V, 7)
-    mu_k = stats.mean[slot]                                     # (V, 7, 3)
-    # second moments about the origin: S_k = n_k (cov_k + mu_k mu_k^T)
-    s2_k = n_k[..., None, None] * (
-        stats.cov[slot] + mu_k[..., :, None] * mu_k[..., None, :])
-    n = jnp.sum(n_k, axis=1)                                    # (V,)
-    s1 = jnp.sum(n_k[..., None] * mu_k, axis=1)                 # (V, 3)
-    s2 = jnp.sum(s2_k, axis=1)                                  # (V, 3, 3)
-    mu = s1 / jnp.maximum(n, 1.0)[:, None]
-    cov = s2 / jnp.maximum(n, 1.0)[:, None, None] - mu[:, :, None] * mu[:, None, :]
+    n, mu, cov = _merge_neighbor_moments(stats.keys, stats.count, stats.mean,
+                                         stats.cov, dense, opts.dense_dims)
     return n, mu, cov, stats.keys
 
 
@@ -157,25 +166,70 @@ def _build_line_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
     return packed, jnp.where(valid[:, None], d, 0.0)
 
 
-def _build_plane_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
-                       dense: voxel.DenseIndex):
-    """Per-voxel plane from neighbor-merged Gaussian moments (VGICP-style):
-    normal = smallest eigenvector of the merged covariance."""
-    n, mu, cov, keys = _merged_moments(pc, grid, opts, dense)
+def _planes_from_moments(n, mu, cov, keys, opts: IcpOptions):
+    """Planes + validity from merged moments: normal = smallest eigenvector.
+
+    Validity: enough support, thin along the normal, AND genuinely planar —
+    the eigenvalue-ratio term rejects line-degenerate voxels (e0 ~ e1) whose
+    PCA "plane" has an arbitrary normal direction; verified to be the
+    failure mode that diverged GN on corridor scenes (round-2 drive)."""
     vals, vecs = mathx.eigh_sym3x3(cov)
     nvec = vecs[..., :, 0]
     d = -jnp.sum(nvec * mu, axis=-1, keepdims=True)
     plane = jnp.concatenate([nvec, d], axis=-1)                 # (V, 4)
-    # validity: enough support, thin along the normal, AND genuinely planar —
-    # the eigenvalue-ratio term rejects line-degenerate voxels (e0 ~ e1) whose
-    # PCA "plane" has an arbitrary normal direction; verified to be the
-    # failure mode that diverged GN on corridor scenes (round-2 drive).
     valid = ((n >= opts.plane_min_pts)
              & (vals[..., 0] <= opts.plane_fit_eps)
              & (vals[..., 1] >= 3.0 * vals[..., 0])
              & (keys != voxel.INVALID_KEY)
              & jnp.isfinite(plane).all(axis=-1))
     return jnp.where(valid[:, None], plane, 0.0), mu, valid
+
+
+def _build_plane_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
+                       dense: voxel.DenseIndex):
+    """Per-voxel plane from neighbor-merged Gaussian moments (VGICP-style):
+    normal = smallest eigenvector of the merged covariance."""
+    n, mu, cov, keys = _merged_moments(pc, grid, opts, dense)
+    return _planes_from_moments(n, mu, cov, keys, opts)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "dims"))
+def target_from_moment_table(keys, count, mean, cov, dense_table, dense_lo,
+                             origin, opts: IcpOptions, dims) -> IcpTarget:
+    """Derive a p2plane_vox target from an INCREMENTALLY MAINTAINED voxel
+    moment table (an ndt.NdtMap built with bin_mode='floor') — the
+    amortization lever PROFILE.md item 1 names: instead of re-sorting the
+    whole ~80k-point local-map window per keyframe (set_target), the moment
+    table absorbs only the new keyframe (ndt.update_incremental: sort of one
+    scan) and this O(V) pass re-derives planes: neighbor merge + closed-form
+    eigh + repack. The reference's own incremental NDT is the same
+    amortization for its Gaussians (ndt_registration.cpp:150-236); this
+    extends it to the VGICP plane table. Age eviction replaces the sliding
+    keyframe window for map forgetting.
+
+    `dims` must equal the table's dense-index dims; opts.grid_leaf must
+    equal the table's voxel size; `keys` must use floor binning."""
+    dense = voxel.DenseIndex(table=dense_table, lo=dense_lo)
+    n, mu, cov_m = _merge_neighbor_moments(keys, count, mean, cov,
+                                           dense, dims)
+    plane, mu, valid = _planes_from_moments(n, mu, cov_m, keys, opts)
+    packed = jnp.concatenate(
+        [plane, mu, valid[:, None].astype(jnp.float32)], axis=1)
+    v = keys.shape[0]
+    # minimal grid carrier: the vox matcher only reads inv_leaf/origin from
+    # it (correspondences go through the dense index + packed rows)
+    grid = voxel.HashGrid(
+        voxel_keys=keys,
+        bucket_xyz=jnp.zeros((v, 3), jnp.float32),
+        bucket_idx=jnp.full((v, 1), -1, jnp.int32),
+        bucket_cnt=jnp.zeros((v,), jnp.int32),
+        num_voxels=jnp.sum((keys != voxel.INVALID_KEY).astype(jnp.int32)),
+        overflow=jnp.int32(0),
+        inv_leaf=jnp.float32(1.0 / opts.grid_leaf),
+        origin=jnp.asarray(origin, jnp.float32),
+    )
+    return IcpTarget(grid=grid, packed=packed, plane=plane, plane_mu=mu,
+                     plane_valid=valid, dense=dense)
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))

@@ -65,6 +65,11 @@ class NdtOptions:
     # jnp-level oracle path (tests pin the two to identical H/b).
     use_fused: bool = True
     dense_dims: tuple = (256, 256, 64)
+    # voxel-membership binning: 'trunc' replicates the reference's C++ cast
+    # (cpp:98/295); 'floor' is used when the moment table backs a derived
+    # ICP plane target (icp.target_from_moment_table), whose queries bin by
+    # floor
+    bin_mode: str = "trunc"
 
 
 def _stencil(opts: NdtOptions) -> jax.Array:
@@ -128,7 +133,7 @@ def build_direct(pc: PointCloud, opts: NdtOptions, origin=None) -> NdtMap:
     """SetDirectNdtTargetCloud (cpp:86-148) as one segment reduce."""
     if origin is None:
         origin = jnp.zeros((3,), dtype=jnp.float32)
-    stats = voxel.voxel_stats(pc, opts.voxel_size, origin, mode="trunc")
+    stats = voxel.voxel_stats(pc, opts.voxel_size, origin, mode=opts.bin_mode)
     keep = stats.count > opts.min_pts_in_voxel        # strict > (cpp:110)
     info = mathx.clamped_inverse_3x3(stats.cov)
     keys = jnp.where(keep, stats.keys, voxel.INVALID_KEY)
@@ -178,7 +183,7 @@ def update_incremental(m: NdtMap, pc: PointCloud, opts: NdtOptions) -> NdtMap:
     """
     v = opts.map_capacity
     epoch = m.epoch + 1
-    stats = voxel.voxel_stats(pc, opts.voxel_size, m.origin, mode="trunc")
+    stats = voxel.voxel_stats(pc, opts.voxel_size, m.origin, mode=opts.bin_mode)
     s_valid = stats.count > 0
 
     # Concatenate map rows and scan rows; scan rows carry tag=1 so they sort
@@ -278,7 +283,7 @@ def _ndt_terms(m: NdtMap, opts: NdtOptions, src: PointCloud, R, t, weighted: boo
     """All residuals of one GN iteration, batched over points x stencil."""
     q = src.xyz
     qs = q @ R.T + t
-    qc = voxel.voxel_coords(qs, 1.0 / opts.voxel_size, m.origin, mode="trunc")
+    qc = voxel.voxel_coords(qs, 1.0 / opts.voxel_size, m.origin, mode=opts.bin_mode)
     st = _stencil(opts)
     nb_keys = voxel.coords_to_key(qc[:, None, :] + st[None, :, :], src.mask[:, None])
 

@@ -51,7 +51,7 @@ from ..utils import lie
 class LioOptions:
     """Mirror of LioOptions (lio.hpp:31-51) + static TPU shape knobs."""
 
-    matcher: str = "icp"              # icp | ndt | ndt_inc | loam
+    matcher: str = "icp"              # icp | icp_vox_inc | ndt | ndt_inc | loam
     icp: icp.IcpOptions = icp.IcpOptions()
     ndt: ndt.NdtOptions = ndt.NdtOptions()
     loam: loam.LoamOption = loam.LoamOption()
@@ -67,6 +67,17 @@ class LioOptions:
     @property
     def local_map_capacity(self) -> int:
         return self.num_kfs_in_local_map * self.scan_capacity
+
+    @property
+    def inc_ndt(self) -> ndt.NdtOptions:
+        """Moment-table options backing matcher='icp_vox_inc': floor-binned
+        incremental voxel Gaussians at the ICP grid leaf, from which the
+        plane table is re-derived per keyframe (O(voxels), no local-map
+        re-sort — PROFILE.md lever 1). Age eviction replaces the sliding
+        keyframe window for map forgetting."""
+        return dataclasses.replace(
+            self.ndt, method="incremental", voxel_size=self.icp.grid_leaf,
+            bin_mode="floor", dense_dims=self.icp.dense_dims)
 
 
 class LioState(NamedTuple):
@@ -141,6 +152,11 @@ def init_state(opts: LioOptions, R_il=None, t_il=None) -> LioState:
     empty = _empty_map_cloud(opts)
     if opts.matcher in ("icp",):
         state = state._replace(icp_target=icp.set_target(empty, opts.icp))
+    elif opts.matcher == "icp_vox_inc":
+        assert opts.icp.method == "p2plane_vox", opts.icp.method
+        m0 = ndt.empty_incremental(opts.inc_ndt)
+        state = state._replace(
+            ndt_map=m0, icp_target=_derive_vox_target(opts, m0))
     elif opts.matcher == "ndt":
         state = state._replace(ndt_map=ndt.build_direct(empty, opts.ndt))
     elif opts.matcher == "ndt_inc":
@@ -152,6 +168,12 @@ def init_state(opts: LioOptions, R_il=None, t_il=None) -> LioState:
     else:
         raise ValueError(f"unknown matcher {opts.matcher!r}")
     return state
+
+
+def _derive_vox_target(opts: LioOptions, m: ndt.NdtMap) -> icp.IcpTarget:
+    return icp.target_from_moment_table(
+        m.keys, m.count, m.mean, m.cov, m.dense_table, m.dense_lo,
+        m.origin, opts.icp, opts.icp.dense_dims)
 
 
 def _empty_map_cloud(opts: LioOptions) -> PointCloud:
@@ -205,6 +227,15 @@ def _push_keyframe(opts, state: LioState, scan_xyz, scan_mask, R, t,
     if opts.matcher == "icp":
         local_map, origin = _assemble_local_map(opts, kf_xyz, kf_mask, kf_R, kf_t)
         new = new._replace(icp_target=icp.set_target(local_map, opts.icp, origin))
+    elif opts.matcher == "icp_vox_inc":
+        # absorb only the NEW keyframe into the moment table, then re-derive
+        # the plane table in O(voxels) — no local-map re-sort
+        world = scan_xyz @ R.T + t
+        world = jnp.where(scan_mask[:, None], world, PAD_COORD)
+        m2 = ndt.update_incremental(
+            new.ndt_map, PointCloud(xyz=world, mask=scan_mask), opts.inc_ndt)
+        new = new._replace(ndt_map=m2,
+                           icp_target=_derive_vox_target(opts, m2))
     elif opts.matcher == "ndt":
         local_map, origin = _assemble_local_map(opts, kf_xyz, kf_mask, kf_R, kf_t)
         new = new._replace(ndt_map=ndt.build_direct(local_map, opts.ndt, origin))
@@ -228,7 +259,7 @@ def _push_keyframe(opts, state: LioState, scan_xyz, scan_mask, R, t,
 
 def _align(opts: LioOptions, state: LioState, src: PointCloud, R0, t0,
            edge_src: Optional[PointCloud] = None):
-    if opts.matcher == "icp":
+    if opts.matcher in ("icp", "icp_vox_inc"):
         return icp.scan_match(state.icp_target, opts.icp, src, R0, t0)
     if opts.matcher == "ndt":
         return ndt.scan_match(state.ndt_map, opts.ndt, src, R0, t0)

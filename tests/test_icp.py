@@ -286,3 +286,65 @@ def test_loam_vox_fused_recovers_pose():
     assert np.linalg.norm(np.asarray(res.t) - t_true) < 0.03
     assert np.linalg.norm(np.asarray(res.R) - R_true) < 0.02
     assert int(res.num_effective) > 1000
+
+
+def test_target_from_moment_table_matches_set_target():
+    """icp_vox_inc derivation parity: a plane table derived from a
+    single-scan incremental moment table must match set_target on the same
+    cloud (same voxels, same planes)."""
+    from loc_lib_tpu.models import ndt
+    import dataclasses
+    rng = np.random.default_rng(9)
+    scene = _structured_scene(rng)
+    pc = pcm.from_numpy(scene, capacity=2048)
+    opts = icp.IcpOptions(method="p2plane_vox", dense_dims=(64, 64, 32))
+    ref = icp.set_target(pc, opts)
+
+    nopts = ndt.NdtOptions(method="incremental", voxel_size=opts.grid_leaf,
+                           bin_mode="floor", dense_dims=opts.dense_dims,
+                           map_capacity=4096)
+    m = ndt.update_incremental(ndt.empty_incremental(nopts), pc, nopts)
+    der = icp.target_from_moment_table(m.keys, m.count, m.mean, m.cov,
+                                       m.dense_table, m.dense_lo, m.origin,
+                                       opts, opts.dense_dims)
+    # compare per-voxel planes via key association
+    ref_keys = np.asarray(ref.grid.voxel_keys)
+    der_keys = np.asarray(der.grid.voxel_keys)
+    ref_valid = np.asarray(ref.plane_valid)
+    der_valid = np.asarray(der.plane_valid)
+    ref_map = {k: i for i, k in enumerate(ref_keys) if ref_valid[i]}
+    der_map = {k: i for i, k in enumerate(der_keys) if der_valid[i]}
+    assert set(ref_map) == set(der_map)
+    ref_planes = np.asarray(ref.plane)
+    der_planes = np.asarray(der.plane)
+    for k, i in ref_map.items():
+        np.testing.assert_allclose(der_planes[der_map[k]], ref_planes[i],
+                                   rtol=0, atol=1e-3)
+
+
+def test_lio_icp_vox_inc_tracks():
+    """The incremental plane-table LIO path tracks a short trajectory with
+    accuracy comparable to the batch-rebuild vox path."""
+    from loc_lib_tpu.io import logdir
+    from loc_lib_tpu.pipeline import lio as lio_mod
+    from loc_lib_tpu.eval import metrics
+
+    log = logdir.make_demo_log(num_frames=8, capacity=2048, yaw_rate=0.0,
+                               speed=2.0)
+    ates = {}
+    for matcher in ("icp_vox_inc", "icp"):
+        opts = lio_mod.LioOptions(
+            matcher=matcher,
+            icp=icp.IcpOptions(method="p2plane_vox"),
+            scan_capacity=2048, with_eskf=False)
+        engine = lio_mod.Lio(opts)
+        idxs = []
+        for mg in log.measures(imu_capacity=8):
+            scan = pcm.PointCloud(
+                xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+            engine.add_cloud(scan)
+            idxs.append(mg.scan_index)
+        a = metrics.ate(np.stack(engine.poses), log.gt_poses[np.asarray(idxs)])
+        ates[matcher] = a.rmse
+    assert ates["icp_vox_inc"] < max(2.5 * ates["icp"], 0.1), ates
