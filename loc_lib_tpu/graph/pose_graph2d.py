@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import lie
-from .pose_graph import PgoOptions
+from .pose_graph import PgoOptions, solve_pcg
 
 
 class Se2Edges(NamedTuple):
@@ -107,17 +107,26 @@ def optimize(theta, t, edges: Se2Edges, opts: PgoOptions = PgoOptions(),
             jax.ops.segment_sum(Hjj, edges.j, num_segments=m)
         b = jax.ops.segment_sum(bi, edges.i, num_segments=m) + \
             jax.ops.segment_sum(bj, edges.j, num_segments=m)
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        Hd = Hd + opts.damping * eye3
+        Hd = Hd.at[0].add(opts.gauge_weight * eye3)
+        Hij_v = Hij * edges.valid[:, None, None]
 
-        H = jnp.zeros((m, 3, m, 3), jnp.float32)
-        idx = jnp.arange(m)
-        H = H.at[idx, :, idx, :].set(Hd + opts.damping * jnp.eye(3, dtype=jnp.float32))
-        H = H.at[edges.i, :, edges.j, :].add(Hij * edges.valid[:, None, None])
-        H = H.at[edges.j, :, edges.i, :].add(
-            jnp.swapaxes(Hij, -1, -2) * edges.valid[:, None, None])
-        H = H.at[0, :, 0, :].add(opts.gauge_weight * jnp.eye(3, dtype=jnp.float32))
-
-        dx = jnp.linalg.solve(H.reshape(3 * m, 3 * m), b.reshape(3 * m))
-        dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(m, 3)
+        if opts.solver == "dense":
+            H = jnp.zeros((m, 3, m, 3), jnp.float32)
+            idx = jnp.arange(m)
+            H = H.at[idx, :, idx, :].set(Hd)
+            H = H.at[edges.i, :, edges.j, :].add(Hij_v)
+            H = H.at[edges.j, :, edges.i, :].add(
+                jnp.swapaxes(Hij_v, -1, -2))
+            dx = jnp.linalg.solve(H.reshape(3 * m, 3 * m),
+                                  b.reshape(3 * m)).reshape(m, 3)
+        else:
+            # the block-sparse PCG is block-size generic (pose_graph.py):
+            # O(M+E) memory, same solver the SE(3) graph uses
+            dx = solve_pcg(Hd, Hij_v, edges.i, edges.j, b, m,
+                           opts.max_cg_iterations, opts.cg_tol)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         # apply body-frame perturbation (matching the residual's convention)
         c, s = jnp.cos(th), jnp.sin(th)
         tt2 = tt + jnp.stack([c * dx[:, 0] - s * dx[:, 1],

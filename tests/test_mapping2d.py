@@ -66,3 +66,29 @@ def test_mapping2d_pipeline():
         err = np.linalg.norm(t - t_gt)
         assert err < 0.25, f"frame {i}: {err:.3f} m 2D drift"
     assert m.frame_count == n
+
+
+def test_se2_pcg_matches_dense():
+    """The SE(2) PCG solve must agree with the dense oracle (same scheme as
+    the SE(3) graph; pose_graph.py solve_pcg is block-size generic)."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from loc_lib_tpu.graph import pose_graph2d as pg2
+    from loc_lib_tpu.graph.pose_graph import PgoOptions
+
+    rng = np.random.default_rng(0)
+    m = 30
+    ang = np.linspace(0, 1.5 * np.pi, m).astype(np.float32)
+    t_gt = np.stack([np.cos(ang) * 5, np.sin(ang) * 5], 1).astype(np.float32)
+    th = (ang + rng.normal(0, 0.02, m)).astype(np.float32)
+    t = (t_gt + rng.normal(0, 0.05, (m, 2))).astype(np.float32)
+    edges = pg2.odometry_edges(jnp.asarray(ang), jnp.asarray(t_gt))
+    opts_p = dataclasses.replace(PgoOptions(), max_iterations=10)
+    opts_d = dataclasses.replace(opts_p, solver="dense")
+    th_p, t_p, chi_p, _ = pg2.optimize(jnp.asarray(th), jnp.asarray(t),
+                                       edges, opts_p)
+    th_d, t_d, chi_d, _ = pg2.optimize(jnp.asarray(th), jnp.asarray(t),
+                                       edges, opts_d)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_d), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(th_p), np.asarray(th_d), atol=2e-3)
