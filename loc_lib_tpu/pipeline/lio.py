@@ -382,12 +382,17 @@ class Lio:
     lio.hpp:53-147)."""
 
     def __init__(self, opts: LioOptions = LioOptions(), R_il=None, t_il=None):
+        from ..utils import health as health_mod
+
         self.opts = opts
         self.state = init_state(opts, R_il, t_il)
         self.poses: list[np.ndarray] = []        # per-frame 4x4 T_w_l
         self.kf_poses: list[np.ndarray] = []
         self.imu_buffer: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.imu_inited = not opts.with_eskf
+        # system-level failure detection (SURVEY.md section 5: the reference
+        # has none) — fed from the same batched pull as the pose record
+        self.health = health_mod.TrackingHealth()
 
     # -- IMU ----------------------------------------------------------------
     def init_imu(self, gyro, acce, timestamp) -> bool:
@@ -434,13 +439,17 @@ class Lio:
         # tunnel), so fetching R, t and the keyframe flag separately triples
         # the per-scan host cost; device_get also populates each array's
         # host cache, making callers' later bool(out.is_keyframe) free.
-        R, t, is_kf = jax.device_get((out.R, out.t, out.is_keyframe))
+        R, t, is_kf, conv, n_eff, chi2 = jax.device_get(
+            (out.R, out.t, out.is_keyframe, out.converged,
+             out.num_effective, out.chi2))
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = t
         self.poses.append(T)
         if bool(is_kf):
             self.kf_poses.append(T)
+        if len(self.poses) > 1:  # frame 0 does no matching (lio.cpp:224-233)
+            self.health.update(conv, n_eff, chi2)
 
     def apply_correction(self, dR: np.ndarray, dt: np.ndarray) -> None:
         """Left-multiply every live world pose by the SE(3) correction

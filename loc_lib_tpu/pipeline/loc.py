@@ -194,15 +194,22 @@ class Loc:
 
     def __init__(self, global_map_xyz: np.ndarray, opts: LocOptions = LocOptions(),
                  R_il=None, t_il=None):
+        from ..utils import health as health_mod
+
         self.opts = opts
         gm = from_numpy(global_map_xyz)
         self.map_xyz = gm.xyz
         self.map_mask = gm.mask
         self.state = init_state(opts, R_il, t_il)
         self.poses: list[np.ndarray] = []
+        # tracking-health monitor: health.needs_reinit tells the flow to
+        # re-seed via set_init_pose (GNSS in the reference) instead of
+        # publishing a diverging pose
+        self.health = health_mod.TrackingHealth()
 
     def set_init_pose(self, R, t):
         self.state = set_init_pose(self.state, R, t)
+        self.health.reset()
         self._recrop()
 
     def _recrop(self):
@@ -217,11 +224,14 @@ class Loc:
         self.state, out = step(self.state, scan, self.opts)
         # one batched device->host pull per scan (tunnel RTT ~25 ms each;
         # see lio.Lio._record)
-        R, t, recrop = jax.device_get((out.R, out.t, out.need_recrop))
+        R, t, recrop, conv, n_eff, chi2 = jax.device_get(
+            (out.R, out.t, out.need_recrop, out.converged,
+             out.num_effective, out.chi2))
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = t
         self.poses.append(T)
+        self.health.update(conv, n_eff, chi2)
         if bool(recrop):
             self._recrop()
         return out
@@ -239,11 +249,14 @@ class Loc:
         self.state, out = step_measure(
             self.state, scan, jnp.asarray(imu_gyro), jnp.asarray(imu_acce),
             jnp.asarray(imu_stamp), jnp.asarray(imu_valid), self.opts)
-        R, t, recrop = jax.device_get((out.R, out.t, out.need_recrop))
+        R, t, recrop, conv, n_eff, chi2 = jax.device_get(
+            (out.R, out.t, out.need_recrop, out.converged,
+             out.num_effective, out.chi2))
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = t
         self.poses.append(T)
+        self.health.update(conv, n_eff, chi2)
         if bool(recrop):
             self._recrop()
         return out

@@ -142,3 +142,44 @@ def test_lio_with_eskf_imu():
     assert errors[-1] < 0.45, f"no recovery: {errors}"
     v = np.asarray(engine.state.eskf.v)
     assert abs(np.linalg.norm(v) - 2.0) < 0.5, f"velocity not learned: {v}"
+
+
+def test_tracking_health_monitor():
+    """System-level failure detection (SURVEY.md section 5: the reference
+    has none): good frames keep OK, consecutive bad frames escalate to
+    DEGRADED then LOST, recovery resets."""
+    from loc_lib_tpu.utils.health import TrackingHealth, HealthOptions
+    h = TrackingHealth(HealthOptions(min_effective=100, degrade_after=2,
+                                     lost_after=4))
+    assert h.update(True, 5000, 10.0) == h.OK
+    assert h.update(True, 5000, 10.0) == h.OK
+    assert h.update(False, 5000, 10.0) == h.OK          # 1 bad
+    assert h.update(True, 50, 1.0) == h.DEGRADED        # 2 bad (n_eff low)
+    assert h.update(True, 5000, 1e6) == h.DEGRADED      # 3 bad (chi2/pt)
+    assert h.update(False, 0, 0.0) == h.LOST            # 4 bad
+    assert h.needs_reinit
+    h.reset()
+    assert h.status == h.OK
+    # a good frame interleaved resets the consecutive counter
+    h.update(False, 0, 0.0)
+    h.update(True, 5000, 10.0)
+    assert h.consecutive_bad == 0 and h.total_bad == 5
+
+
+def test_loc_health_flags_lost_on_empty_map():
+    """Localizing against an empty map must flag LOST, not silently emit
+    poses."""
+    import numpy as np
+    from loc_lib_tpu.pipeline import loc as loc_mod
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    rng = np.random.default_rng(0)
+    engine = loc_mod.Loc(np.zeros((0, 3), np.float32),
+                         loc_mod.LocOptions(scan_capacity=256,
+                                            local_map_capacity=1024))
+    engine.set_init_pose(np.eye(3), np.zeros(3))
+    scan = PointCloud(
+        xyz=jnp.asarray(rng.uniform(-5, 5, (256, 3)).astype(np.float32)),
+        mask=jnp.ones((256,), bool))
+    for _ in range(12):
+        engine.update_cloud(scan)
+    assert engine.health.needs_reinit
