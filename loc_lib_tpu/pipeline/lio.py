@@ -74,7 +74,15 @@ class LioOptions:
         incremental voxel Gaussians at the ICP grid leaf, from which the
         plane table is re-derived per keyframe (O(voxels), no local-map
         re-sort — PROFILE.md lever 1). Age eviction replaces the sliding
-        keyframe window for map forgetting."""
+        keyframe window for map forgetting.
+
+        Accuracy trade-off (measured, BENCH_SUITE lio_full_log_vox_inc):
+        like the reference's incremental NDT (and matcher='ndt_inc' here),
+        points are absorbed at their ABSORPTION-TIME world poses, so
+        odometry drift bakes into the map — the batch rebuild (matcher=
+        'icp' + p2plane_vox) re-transforms keyframes by their current poses
+        each window and tracks tighter on long runs. Prefer 'icp' +
+        p2plane_vox unless the rebuild cost dominates."""
         return dataclasses.replace(
             self.ndt, method="incremental", voxel_size=self.icp.grid_leaf,
             bin_mode="floor", dense_dims=self.icp.dense_dims)
