@@ -54,6 +54,33 @@ class Mapping2dOptions:
     pyramid_factors: tuple = (8, 4, 2, 1)
 
 
+# Host-side SE(2) bookkeeping in plain numpy: these are 3-DoF scalar ops,
+# and each device dispatch + scalar pull costs a full tunnel round trip
+# (~25 ms, PROFILE.md section 3) — routing them through jax made the 2D
+# pipeline transfer-bound (measured 2.9 scans/s; the matching itself is ms).
+
+def _np_wrap(a: float) -> float:
+    return float((a + np.pi) % (2.0 * np.pi) - np.pi)
+
+
+def _np_se2_compose(th1, t1, th2, t2):
+    c, s = np.cos(th1), np.sin(th1)
+    R = np.array([[c, -s], [s, c]], np.float32)
+    return _np_wrap(th1 + th2), np.asarray(t1, np.float32) + R @ np.asarray(t2, np.float32)
+
+
+def _np_se2_inverse(th, t):
+    c, s = np.cos(th), np.sin(th)
+    Rt = np.array([[c, s], [-s, c]], np.float32)
+    return _np_wrap(-th), -(Rt @ np.asarray(t, np.float32))
+
+
+def _np_se2_apply(th, t, xy):
+    c, s = np.cos(th), np.sin(th)
+    R = np.array([[c, -s], [s, c]], np.float32)
+    return np.asarray(xy, np.float32) @ R.T + np.asarray(t, np.float32)
+
+
 class Submap:
     """Host-side submap record (Submap, submap.hpp:25-73)."""
 
@@ -69,22 +96,16 @@ class Submap:
         self.frame_ids: list[int] = []
 
     def world_to_submap(self, theta_wb, t_wb):
-        th, t = lie.se2_compose(
-            *lie.se2_inverse(jnp.float32(self.theta_ws), jnp.asarray(self.t_ws)),
-            jnp.float32(theta_wb), jnp.asarray(t_wb, jnp.float32))
-        return float(th), np.asarray(t)
+        return _np_se2_compose(*_np_se2_inverse(self.theta_ws, self.t_ws),
+                               theta_wb, t_wb)
 
     def submap_to_world(self, theta_sb, t_sb):
-        th, t = lie.se2_compose(jnp.float32(self.theta_ws), jnp.asarray(self.t_ws),
-                                jnp.float32(theta_sb), jnp.asarray(t_sb, jnp.float32))
-        return float(th), np.asarray(t)
+        return _np_se2_compose(self.theta_ws, self.t_ws, theta_sb, t_sb)
 
     def add_scan(self, scan_xy, valid, theta_sb, t_sb):
         """AddScanInOccupancyMap (submap.cpp:33-36): pose the scan into the
         submap frame, update occupancy, regenerate the field."""
-        pts = np.asarray(lie.se2_apply(jnp.float32(theta_sb),
-                                       jnp.asarray(t_sb, jnp.float32),
-                                       jnp.asarray(scan_xy)))
+        pts = _np_se2_apply(theta_sb, t_sb, scan_xy)
         self.grid = grid2d.add_scan(self.grid, self.opts.grid,
                                     jnp.asarray(pts), jnp.asarray(valid),
                                     jnp.asarray(t_sb, jnp.float32))
@@ -108,8 +129,9 @@ class Submap:
                 field, gopts, jnp.asarray(scan_xy), jnp.asarray(valid),
                 th, t, self.opts.align)
             th, t = res.theta, res.t
-        ok = (float(res.inlier_ratio) >= self.opts.loop_min_inlier_ratio
-              and int(res.num_effective) >= self.opts.align.min_effective)
+        ratio, n_eff = jax.device_get((res.inlier_ratio, res.num_effective))
+        ok = (float(ratio) >= self.opts.loop_min_inlier_ratio
+              and int(n_eff) >= self.opts.align.min_effective)
         return res, ok
 
 
@@ -157,15 +179,16 @@ class Mapping2D:
         opts = self.opts
         first = self.frame_count == 0
         # constant-velocity world guess (mapping_2d.cpp:79-85)
-        dth = lie.wrap_angle(jnp.float32(self.theta_wb - self.last_theta))
-        guess_th = self.theta_wb + float(dth)
+        guess_th = self.theta_wb + _np_wrap(self.theta_wb - self.last_theta)
         guess_t = self.t_wb + (self.t_wb - self.last_t)
 
         cur = self.submaps[-1]
         if not first:
             th0, t0 = cur.world_to_submap(guess_th, guess_t)
             res = cur.match_scan(scan_xy, valid, th0, t0)
-            th_w, t_w = cur.submap_to_world(float(res.theta), np.asarray(res.t))
+            # ONE batched pull of the match result (tunnel RTT per transfer)
+            th_m, t_m = jax.device_get((res.theta, res.t))
+            th_w, t_w = cur.submap_to_world(float(th_m), t_m)
         else:
             th_w, t_w = self.theta_wb, self.t_wb
 
@@ -186,15 +209,14 @@ class Mapping2D:
 
     def _is_keyframe(self) -> bool:
         d = np.linalg.norm(self.t_wb - self.last_kf_t)
-        a = abs(float(lie.wrap_angle(jnp.float32(self.theta_wb - self.last_kf_theta))))
+        a = abs(_np_wrap(self.theta_wb - self.last_kf_theta))
         return d > self.opts.keyframe_dist or a > np.deg2rad(self.opts.keyframe_angle_deg)
 
     def _maybe_expand(self, scan_xy, valid):
         """ExpandSubmap triggers (mapping_2d.cpp:154-184)."""
         cur = self.submaps[-1]
         th_sb, t_sb = cur.world_to_submap(self.theta_wb, self.t_wb)
-        pts = np.asarray(lie.se2_apply(jnp.float32(th_sb), jnp.asarray(t_sb, jnp.float32),
-                                       jnp.asarray(scan_xy)))
+        pts = _np_se2_apply(th_sb, t_sb, scan_xy)
         oob = float(grid2d.out_of_bounds_fraction(self.opts.grid, jnp.asarray(pts),
                                                   jnp.asarray(valid)))
         if oob > 0.1 or cur.num_frames > self.opts.max_keyframes_in_submap:
@@ -220,10 +242,11 @@ class Mapping2D:
             # constraint between submap sm and current submap:
             # T_sm_cur = T_sm_b * T_b_cur, with T_sm_b from the match and
             # T_b_cur = (T_w_b)^-1 T_w_cur
-            th_b_cur, t_b_cur = lie.se2_compose(
-                *lie.se2_inverse(jnp.float32(self.theta_wb), jnp.asarray(self.t_wb)),
-                jnp.float32(cur.theta_ws), jnp.asarray(cur.t_ws))
-            th_ij, t_ij = lie.se2_compose(res.theta, res.t, th_b_cur, t_b_cur)
+            th_b_cur, t_b_cur = _np_se2_compose(
+                *_np_se2_inverse(self.theta_wb, self.t_wb),
+                cur.theta_ws, cur.t_ws)
+            th_m, t_m = jax.device_get((res.theta, res.t))
+            th_ij, t_ij = _np_se2_compose(float(th_m), t_m, th_b_cur, t_b_cur)
             self.loops.append(LoopConstraint(
                 submap_i=sm.index, submap_j=cur.index,
                 theta_ij=float(th_ij), t_ij=np.asarray(t_ij), valid=True))
