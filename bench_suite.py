@@ -228,6 +228,10 @@ def bench_slam3d(frames: int, capacity: int) -> dict:
     }
 
 
+def _wrap_pi(a: float) -> float:
+    return float((a + np.pi) % (2.0 * np.pi) - np.pi)
+
+
 def bench_mapping2d(frames: int) -> dict:
     """2D submap SLAM (occupancy grid + likelihood-field matching + loop
     closure): scans/s + yaw/translation drift vs the synthetic ground truth
@@ -241,12 +245,15 @@ def bench_mapping2d(frames: int) -> dict:
     valid = np.zeros((frames, 720), bool)
     gt = []
     for k in range(frames):
-        a = 0.5 * np.pi * k / frames
+        # full circle: crosses submap boundaries and returns to the start,
+        # so expansion and loop closure are actually exercised
+        a = 2.0 * np.pi * k / frames
         t = np.array([6 * np.cos(a) - 6, 6 * np.sin(a)], np.float32)
         xy[k], valid[k] = synthetic.render_scan_2d(world, a, t, seed=k)
         gt.append((a, t))
 
-    engine = m2d.Mapping2D(m2d.Mapping2dOptions())
+    engine = m2d.Mapping2D(m2d.Mapping2dOptions(
+        max_keyframes_in_submap=16))
     warmup = 4
     times, err_t, err_th = [], [], []
     for k in range(frames):
@@ -254,7 +261,7 @@ def bench_mapping2d(frames: int) -> dict:
         th, t = engine.process_scan(xy[k], valid[k])
         times.append(time.perf_counter() - t0)
         err_t.append(np.linalg.norm(np.asarray(t) - gt[k][1]))
-        err_th.append(abs(float(th) - gt[k][0]))
+        err_th.append(abs(_wrap_pi(float(th) - gt[k][0])))
     steady = np.asarray(times[warmup:])
     return {
         "frames": frames,
@@ -388,7 +395,7 @@ def main():
                            icp_method="p2plane_vox")),
         ("ndt_inc_odometry", lambda: bench_lio("ndt_inc", frames, cap)),
         ("loc_matching", lambda: bench_loc(frames, cap)),
-        ("mapping2d", lambda: bench_mapping2d(max(frames, 24))),
+        ("mapping2d", lambda: bench_mapping2d(80 if not args.quick else 24)),
         ("slam3d_loop", lambda: bench_slam3d(46, min(cap, 2048))),
         ("scaling_tpu_projection",
          lambda: bench_scaling_tpu(65536, 8192, 10 if args.quick else 30)),
