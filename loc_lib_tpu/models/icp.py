@@ -339,8 +339,31 @@ def _p2plane_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, 
     kernel. Correspondence = nearest-centroid VALID plane voxel among the
     point's own voxel + its 6 face neighbors (the gather-friendly stand-in
     for the reference's kd-tree NN; center-only lookup demonstrably diverges
-    near voxel borders — round-2 drive). Residual/gate/Jacobian/H/b fuse in
-    `p2plane_fused_terms`."""
+    near voxel borders — round-2 drive). The candidate ELECTION
+    (nearest-centroid over the 7 rows) happens INSIDE the fused kernel
+    (`p2plane_pick_fused_terms`, PROFILE.md lever 2) so each iteration's
+    XLA side is just the dense lookup + one row gather; `_p2plane_vox_terms_
+    unfused_pick` keeps the XLA-side election as the pinned-equal oracle."""
+    q = src.xyz
+    qs = q @ R.T + t
+    qcoords = voxel.voxel_coords(qs, target.grid.inv_leaf, target.grid.origin)
+    keys7 = voxel.coords_to_key(
+        qcoords[:, None, :] + voxel.NEARBY6[None, :, :], src.mask[:, None])
+    slot7, found7 = voxel.lookup_dense(target.dense, opts.dense_dims, keys7)
+    rows7 = target.packed[slot7]                             # (N, 7, 8)
+    valid7 = found7 & (rows7[..., 7] > 0.5)                  # (N, 7)
+    rows7 = rows7.at[..., 7].set(valid7.astype(rows7.dtype))
+    return pallas_kernels.p2plane_pick_fused_terms(
+        q, rows7, src.mask.astype(q.dtype), R, t, opts.max_plane_distance,
+        interpret=not pallas_kernels.on_tpu())
+
+
+def _p2plane_vox_terms_unfused_pick(target: IcpTarget, opts: IcpOptions,
+                                    src: PointCloud, R, t):
+    """Oracle for `_p2plane_vox_terms`: identical correspondence election
+    (nearest-valid-centroid over NEARBY6+self) expressed as XLA argmin +
+    take_along_axis, feeding the plane-only fused kernel. Pinned equal to
+    the fused-pick path by tests/test_icp.py."""
     q = src.xyz
     qs = q @ R.T + t
     qcoords = voxel.voxel_coords(qs, target.grid.inv_leaf, target.grid.origin)

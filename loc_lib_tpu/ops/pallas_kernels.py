@@ -117,6 +117,115 @@ def p2plane_fused_terms(q, plane, w, R, t, gate, interpret=False):
     return H, b, n_eff, chi2
 
 
+_PICK_TILE = 2048
+
+
+def _make_p2plane_pick_kernel(S: int):
+    """p2plane kernel with the NEARBY-S candidate ELECTION fused in.
+
+    Instead of XLA computing centroid distances, argmin-picking one plane
+    row per point and handing the kernel a (N, 4) plane array
+    (models/icp.py:_p2plane_vox_terms), the kernel receives all S gathered
+    candidate rows [n(3), d, mu(3), valid] per point and performs the
+    nearest-valid-centroid election itself with running min/select over
+    (1, T) lanes — PROFILE.md lever 2: one fewer XLA gather +
+    argmin/take_along_axis pass (and their HBM round trip) per GN
+    iteration. Accumulation math identical to `_p2plane_kernel`.
+    """
+
+    def kernel(pose_ref, q_ref, rows_ref, w_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        x, y, z = q_ref[0:1, :], q_ref[1:2, :], q_ref[2:3, :]   # (1, T)
+        p = pose_ref
+        qsx = p[0, 0] * x + p[0, 1] * y + p[0, 2] * z + p[0, 9]
+        qsy = p[0, 3] * x + p[0, 4] * y + p[0, 5] * z + p[0, 10]
+        qsz = p[0, 6] * x + p[0, 7] * y + p[0, 8] * z + p[0, 11]
+        inf = jnp.float32(jnp.inf)
+        best_d2 = jnp.full_like(x, inf)
+        best = [jnp.zeros_like(x) for _ in range(4)]            # n, d
+        any_valid = jnp.zeros_like(x)
+        for s in range(S):
+            r = lambda k: rows_ref[8 * s + k:8 * s + k + 1, :]
+            valid = r(7)                                        # 0/1
+            dx_ = r(4) - qsx
+            dy_ = r(5) - qsy
+            dz_ = r(6) - qsz
+            d2 = jnp.where(valid > 0.5,
+                           dx_ * dx_ + dy_ * dy_ + dz_ * dz_, inf)
+            take = d2 < best_d2
+            best_d2 = jnp.where(take, d2, best_d2)
+            best = [jnp.where(take, r(k), best[k]) for k in range(4)]
+            any_valid = jnp.maximum(any_valid, valid)
+        nx, ny, nz, d = best
+        dis = nx * qsx + ny * qsy + nz * qsz + d
+        w = w_ref[:] * any_valid * (jnp.abs(dis) <= p[0, 12]).astype(jnp.float32)
+        rnx = p[0, 0] * nx + p[0, 3] * ny + p[0, 6] * nz
+        rny = p[0, 1] * nx + p[0, 4] * ny + p[0, 7] * nz
+        rnz = p[0, 2] * nx + p[0, 5] * ny + p[0, 8] * nz
+        j0 = -(rny * z - rnz * y)
+        j1 = -(rnz * x - rnx * z)
+        j2 = -(rnx * y - rny * x)
+        A = jnp.concatenate(
+            [j0, j1, j2, nx, ny, nz, dis, jnp.ones_like(dis)], axis=0) * w
+        G = jax.lax.dot_general(
+            A, A, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:] += jnp.concatenate(
+            [G, jnp.zeros((8, 120), jnp.float32)], axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def p2plane_pick_fused_terms(q, rows, w, R, t, gate, interpret=False):
+    """Fused election + linearization for voxel-plane P2Plane.
+
+    q (N, 3) body points, rows (N, S, 8) gathered candidate voxel rows
+    [n(3), d, mu(3), valid] (valid already ANDed with dense-lookup `found`),
+    w (N,) float32 0/1 source mask, R (3,3), t (3,), gate accumulation
+    threshold. Returns (H (6,6), b (6,), n_eff () int32, chi2 ()).
+    """
+    n, S, _ = rows.shape
+    pad = (-n) % _PICK_TILE
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, 3), q.dtype)])
+        rows = jnp.concatenate([rows, jnp.zeros((pad, S, 8), rows.dtype)])
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+    n_pad = n + pad
+    pose = jnp.concatenate([
+        jnp.reshape(R, (9,)).astype(jnp.float32),
+        jnp.reshape(t, (3,)).astype(jnp.float32),
+        jnp.reshape(jnp.asarray(gate, jnp.float32), (1,)),
+        jnp.zeros((3,), jnp.float32),
+    ]).reshape(1, 16)
+    T = _PICK_TILE
+    grid = n_pad // T
+    out = pl.pallas_call(
+        _make_p2plane_pick_kernel(S),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * S, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(pose, q.astype(jnp.float32).T,
+      rows.astype(jnp.float32).transpose(1, 2, 0).reshape(8 * S, n_pad),
+      w.astype(jnp.float32).reshape(1, n_pad))
+    G = out[:, :8]
+    return G[:6, :6], -G[:6, 6], G[7, 7].astype(jnp.int32), G[6, 6]
+
+
 _NDT_TILE = 2048
 
 

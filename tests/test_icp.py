@@ -172,6 +172,31 @@ def test_vox_plane_table_alignment_and_geometry():
     assert abs(coeffs[3]) < 1e-2              # plane through z=0
 
 
+def test_fused_pick_matches_unfused_pick_oracle():
+    """The in-kernel nearest-centroid election (p2plane_pick_fused_terms)
+    must produce the exact same normal equations as the XLA argmin +
+    take_along_axis election feeding the plane-only kernel — the pinned
+    oracle pair for PROFILE.md lever 2."""
+    rng = np.random.default_rng(11)
+    scene, src, _, _ = _make_pair(rng, [0.02, -0.03, 0.04], [0.3, -0.2, 0.15])
+    opts = icp.IcpOptions(method="p2plane_vox", dense_dims=(64, 64, 32))
+    tgt = icp.set_target(pcm.from_numpy(scene, capacity=2048), opts)
+    src_pc = pcm.from_numpy(src, capacity=2048)
+    for w, trans in ([0.0, 0.0, 0.0], [0.0, 0.0, 0.0]), \
+            ([0.01, -0.02, 0.03], [0.1, -0.05, 0.2]):
+        R = jnp.asarray(lie.so3_exp(jnp.asarray(w, jnp.float32)))
+        t = jnp.asarray(trans, jnp.float32)
+        H1, b1, n1, c1 = icp._p2plane_vox_terms(tgt, opts, src_pc, R, t)
+        H2, b2, n2, c2 = icp._p2plane_vox_terms_unfused_pick(
+            tgt, opts, src_pc, R, t)
+        assert int(n1) == int(n2) and int(n1) > 0
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H2),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(float(c1), float(c2), rtol=1e-5, atol=1e-4)
+
+
 def test_fused_terms_match_reference_formula():
     """Pallas fused H/b vs a straight numpy evaluation of the same math."""
     from loc_lib_tpu.ops import pallas_kernels
@@ -332,11 +357,17 @@ def test_lio_icp_vox_inc_tracks():
     log = logdir.make_demo_log(num_frames=8, capacity=2048, yaw_rate=0.0,
                                speed=2.0)
     ates = {}
-    for matcher in ("icp_vox_inc", "icp"):
+    # (matcher, vox_inc_reanchor): reanchor=0 is pure absorption (the
+    # reference's incremental semantics), reanchor=2 exercises the periodic
+    # window-rebuild that flushes baked-in drift
+    for name, matcher, reanchor in (("inc0", "icp_vox_inc", 0),
+                                    ("inc2", "icp_vox_inc", 2),
+                                    ("icp", "icp", 0)):
         opts = lio_mod.LioOptions(
             matcher=matcher,
             icp=icp.IcpOptions(method="p2plane_vox"),
-            scan_capacity=2048, with_eskf=False)
+            scan_capacity=2048, with_eskf=False,
+            vox_inc_reanchor=reanchor)
         engine = lio_mod.Lio(opts)
         idxs = []
         for mg in log.measures(imu_capacity=8):
@@ -346,5 +377,6 @@ def test_lio_icp_vox_inc_tracks():
             engine.add_cloud(scan)
             idxs.append(mg.scan_index)
         a = metrics.ate(np.stack(engine.poses), log.gt_poses[np.asarray(idxs)])
-        ates[matcher] = a.rmse
-    assert ates["icp_vox_inc"] < max(2.5 * ates["icp"], 0.1), ates
+        ates[name] = a.rmse
+    assert ates["inc0"] < max(2.5 * ates["icp"], 0.1), ates
+    assert ates["inc2"] < max(2.5 * ates["icp"], 0.1), ates
