@@ -380,12 +380,18 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="small shapes (CI smoke), skip the TPU sections")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SUITE.json"))
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="re-run only these sections, merging into the "
+                         "existing artifact")
     args = ap.parse_args()
 
     frames = 12 if args.quick else 40
     cap = 2048 if args.quick else 8192
 
     suite = {"quick": bool(args.quick)}
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            suite = json.load(f)
     for name, fn in [
         ("lio_full_log", lambda: bench_lio("icp", frames, cap)),
         ("lio_full_log_vox",
@@ -401,6 +407,8 @@ def main():
          lambda: bench_scaling_tpu(65536, 8192, 10 if args.quick else 30)),
         ("scaling_cpu_mesh", bench_scaling_cpu_mesh),
     ]:
+        if args.only is not None and name not in args.only:
+            continue
         t0 = time.perf_counter()
         try:
             suite[name] = fn()

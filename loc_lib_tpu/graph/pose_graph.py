@@ -245,12 +245,28 @@ def solve_pcg(Hdiag, Hij, e_i, e_j, b, m: int, max_iterations: int,
 
 @functools.partial(jax.jit, static_argnames=("opts", "num_nodes"))
 def optimize(nodes_R, nodes_t, edges: Se3Edges, opts: PgoOptions = PgoOptions(),
-             num_nodes: Optional[int] = None):
-    """Robust GN over the whole graph. Returns (R, t, final per-edge chi2)."""
-    m = num_nodes or nodes_R.shape[0]
+             num_nodes: Optional[int] = None, num_iterations=None):
+    """Robust GN over the whole graph. Returns (R, t, final per-edge chi2,
+    chi2 history (max_iterations,) — entries past the executed count repeat
+    the last value).
 
-    def gn_iter(carry, _):
-        R, t = carry
+    `num_iterations` is a RUNTIME iteration count (<= opts.max_iterations;
+    default opts.max_iterations): both phases of `optimize_two_phase` pass
+    it as a traced scalar so they share ONE compiled program — the
+    linearize+PCG body is by far the most expensive XLA compile in the 3D
+    SLAM path (BENCH_SUITE slam3d_loop pgo_first_call_s), and compiling it
+    twice for a 25- vs 5-iteration scan doubled that cost."""
+    m = num_nodes or nodes_R.shape[0]
+    n_it = jnp.minimum(jnp.int32(opts.max_iterations if num_iterations is None
+                                 else num_iterations),
+                       opts.max_iterations)
+
+    def cond(st):
+        k = st[0]
+        return k < n_it
+
+    def body(st):
+        k, R, t, hist = st
         Hdiag, Hij, b, chi2 = _assemble_blocks(R, t, edges, opts, m)
         if opts.solver == "dense":
             dx = _solve_dense(Hdiag, Hij, b, edges, m)
@@ -259,10 +275,13 @@ def optimize(nodes_R, nodes_t, edges: Se3Edges, opts: PgoOptions = PgoOptions(),
                            opts.max_cg_iterations, opts.cg_tol)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         R_new, t_new = jax.vmap(lie.se3_retract_full)(R, t, dx)
-        return (R_new, t_new), jnp.sum(chi2 * edges.valid)
+        total = jnp.sum(chi2 * edges.valid)
+        hist = jnp.where(jnp.arange(hist.shape[0]) >= k, total, hist)
+        return (k + 1, R_new, t_new, hist)
 
-    (R, t), chi2_hist = jax.lax.scan(gn_iter, (nodes_R, nodes_t),
-                                     None, length=opts.max_iterations)
+    hist0 = jnp.zeros((opts.max_iterations,), jnp.float32)
+    _, R, t, chi2_hist = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), nodes_R, nodes_t, hist0))
     return R, t, edge_chi2(R, t, edges), chi2_hist
 
 
@@ -278,14 +297,17 @@ def optimize_two_phase(nodes_R, nodes_t, edges: Se3Edges,
     plausible = (~edges.is_loop) | ((trans0 <= opts.loop_pregate_trans)
                                     & (rot0 <= opts.loop_pregate_rot))
     edges1 = edges._replace(valid=edges.valid & plausible)
-    R, t, chi2, _ = optimize(nodes_R, nodes_t, edges1, opts)
+    # both phases pass num_iterations as a traced scalar -> ONE compiled
+    # optimize program serves both (halves the first-call compile time)
+    R, t, chi2, _ = optimize(nodes_R, nodes_t, edges1, opts,
+                             num_iterations=jnp.int32(opts.max_iterations))
     rot_n, trans_n = edge_residual_norms(R, t, edges)
     inlier = plausible & ((~edges.is_loop)
                           | ((trans_n <= opts.loop_gate_trans)
                              & (rot_n <= opts.loop_gate_rot)))
     edges2 = edges._replace(valid=edges.valid & inlier)
-    opts2 = dataclasses.replace(opts, max_iterations=opts.second_phase_iterations)
-    R, t, _, _ = optimize(R, t, edges2, opts2)
+    R, t, _, _ = optimize(R, t, edges2, opts,
+                          num_iterations=jnp.int32(opts.second_phase_iterations))
     return R, t, inlier & edges.is_loop
 
 

@@ -86,8 +86,14 @@ def edge_residual_norms(theta, t, edges: Se2Edges):
 
 @functools.partial(jax.jit, static_argnames=("opts", "num_nodes"))
 def optimize(theta, t, edges: Se2Edges, opts: PgoOptions = PgoOptions(),
-             num_nodes: Optional[int] = None):
+             num_nodes: Optional[int] = None, num_iterations=None):
+    """`num_iterations`: RUNTIME iteration count (<= opts.max_iterations);
+    two-phase passes it as a traced scalar so both phases share one
+    compiled program (see pose_graph.optimize)."""
     m = num_nodes or theta.shape[0]
+    n_it = jnp.minimum(jnp.int32(opts.max_iterations if num_iterations is None
+                                 else num_iterations),
+                       opts.max_iterations)
 
     def gn_iter(carry, _):
         th, tt = carry
@@ -134,8 +140,18 @@ def optimize(theta, t, edges: Se2Edges, opts: PgoOptions = PgoOptions(),
         th2 = lie.wrap_angle(th + dx[:, 2])
         return (th2, tt2), jnp.sum(chi2 * edges.valid)
 
-    (th, tt), hist = jax.lax.scan(gn_iter, (theta, t), None,
-                                  length=opts.max_iterations)
+    def cond(st):
+        return st[0] < n_it
+
+    def body(st):
+        k, th, tt, hist = st
+        (th2, tt2), total = gn_iter((th, tt), None)
+        hist = jnp.where(jnp.arange(hist.shape[0]) >= k, total, hist)
+        return (k + 1, th2, tt2, hist)
+
+    hist0 = jnp.zeros((opts.max_iterations,), jnp.float32)
+    _, th, tt, hist = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), theta, t, hist0))
     return th, tt, edge_chi2(th, tt, edges), hist
 
 
@@ -149,14 +165,17 @@ def optimize_two_phase(theta, t, edges: Se2Edges,
     plausible = (~edges.is_loop) | ((trans0 <= opts.loop_pregate_trans)
                                     & (rot0 <= opts.loop_pregate_rot))
     edges1 = edges._replace(valid=edges.valid & plausible)
-    th, tt, chi2, _ = optimize(theta, t, edges1, opts)
+    # traced iteration counts -> one compiled optimize serves both phases
+    th, tt, chi2, _ = optimize(theta, t, edges1, opts,
+                               num_iterations=jnp.int32(opts.max_iterations))
     rot_n, trans_n = edge_residual_norms(th, tt, edges)
     inlier = plausible & ((~edges.is_loop)
                           | ((trans_n <= opts.loop_gate_trans)
                              & (rot_n <= opts.loop_gate_rot)))
     edges2 = edges._replace(valid=edges.valid & inlier)
-    opts2 = dataclasses.replace(opts, max_iterations=opts.second_phase_iterations)
-    th, tt, _, _ = optimize(th, tt, edges2, opts2)
+    th, tt, _, _ = optimize(
+        th, tt, edges2, opts,
+        num_iterations=jnp.int32(opts.second_phase_iterations))
     return th, tt, inlier & edges.is_loop
 
 
