@@ -389,7 +389,9 @@ def main():
     cap = 2048 if args.quick else 8192
 
     suite = {"quick": bool(args.quick)}
-    if args.only and os.path.exists(args.out):
+    # `is not None` (not truthiness): `--only` with zero names must still
+    # merge-load, not clobber the artifact with a near-empty object
+    if args.only is not None and os.path.exists(args.out):
         with open(args.out) as f:
             suite = json.load(f)
     for name, fn in [

@@ -78,6 +78,13 @@ class PgoOptions:
     damping: float = 1e-6           # LM-style diagonal damping for stability
     gauge_weight: float = 1e8       # prior weight pinning node 0
 
+    def __post_init__(self):
+        # `optimize` clamps num_iterations to max_iterations (its hist/loop
+        # bound); a larger phase-2 count would otherwise silently truncate
+        assert self.second_phase_iterations <= self.max_iterations, (
+            f"second_phase_iterations ({self.second_phase_iterations}) must "
+            f"be <= max_iterations ({self.max_iterations})")
+
 
 class Se3Edges(NamedTuple):
     """Relative-pose constraints i -> j with per-edge information."""

@@ -94,21 +94,23 @@ class LoopResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("opts",))
 def detect_loop(query_desc: jax.Array, db_desc: jax.Array, db_keys: jax.Array,
-                db_count: jax.Array,
+                db_ids: jax.Array, db_count: jax.Array,
                 opts: ScanContextOptions = ScanContextOptions()) -> LoopResult:
     """DetectLoopClosureID done properly: db_desc (N, R, S) padded database,
-    db_keys (N, R), db_count = number of live rows. The most recent
-    `exclude_recent` frames are excluded (standard ScanContext practice —
-    the reference's submap_gap_ analog, loop_closing.cpp:58)."""
-    n = db_desc.shape[0]
-    idx = jnp.arange(n)
-    eligible = (idx < db_count - opts.exclude_recent)
+    db_keys (N, R), db_ids (N,) per-slot insertion ids (-1 = empty slot; the
+    DB is a ring buffer, so slot order is NOT insertion order at capacity),
+    db_count = total descriptors ever inserted. The most recent
+    `exclude_recent` insertions are excluded (standard ScanContext practice —
+    the reference's submap_gap_ analog, loop_closing.cpp:58). The returned
+    `index` is the matched INSERTION id."""
+    eligible = (db_ids >= 0) & (db_ids < db_count - opts.exclude_recent)
 
     qk = ring_key(query_desc)
     key_d2 = jnp.sum((db_keys - qk) ** 2, axis=-1)
     key_d2 = jnp.where(eligible, key_d2, jnp.inf)
 
     # ring-key gate: keep the best ~search_ratio * N candidates
+    n = db_desc.shape[0]
     k = max(1, int(opts.search_ratio * n))
     top_d2, top_idx = jax.lax.top_k(-key_d2, k)
     cand_ok = jnp.isfinite(-top_d2)
@@ -118,13 +120,21 @@ def detect_loop(query_desc: jax.Array, db_desc: jax.Array, db_keys: jax.Array,
     best = jnp.argmin(dist)
     best_dist = dist[best]
     found = best_dist < opts.dist_threshold
-    return LoopResult(index=jnp.where(found, top_idx[best], -1).astype(jnp.int32),
+    match_id = db_ids[top_idx[best]]
+    return LoopResult(index=jnp.where(found, match_id, -1).astype(jnp.int32),
                       distance=best_dist, found=found)
 
 
 class ScanContextDb:
     """Host-side descriptor database (the key-frame DB the reference never
-    wrote, scan_context.hpp:83-90)."""
+    wrote, scan_context.hpp:83-90).
+
+    A RING BUFFER at capacity: the oldest descriptor is overwritten and the
+    eviction is counted in `evicted` (observable, never silent — the same
+    discipline as the voxel-layer overflow counters, ops/voxel.py:146-150).
+    `add` returns the insertion id; `query` results report insertion ids, so
+    callers' id spaces (e.g. keyframe indices) stay stable across evictions.
+    """
 
     def __init__(self, capacity: int = 4096,
                  opts: ScanContextOptions = ScanContextOptions()):
@@ -134,17 +144,25 @@ class ScanContextDb:
         self.capacity = capacity
         self.desc = np.zeros((capacity, opts.num_ring, opts.num_sector), np.float32)
         self.keys = np.zeros((capacity, opts.num_ring), np.float32)
-        self.count = 0
+        self.ids = np.full((capacity,), -1, np.int32)
+        self.count = 0        # total descriptors ever inserted
+        self.evicted = 0      # descriptors overwritten after saturation
 
-    def add(self, pc: PointCloud) -> None:
+    def add(self, pc: PointCloud) -> int:
         import numpy as np
 
         d = descriptor(pc, self.opts)
-        self.desc[self.count] = np.asarray(d)
-        self.keys[self.count] = np.asarray(ring_key(d))
+        slot = self.count % self.capacity
+        if self.ids[slot] >= 0:
+            self.evicted += 1
+        self.desc[slot] = np.asarray(d)
+        self.keys[slot] = np.asarray(ring_key(d))
+        self.ids[slot] = self.count
         self.count += 1
+        return self.count - 1
 
     def query(self, pc: PointCloud) -> LoopResult:
         q = descriptor(pc, self.opts)
         return detect_loop(q, jnp.asarray(self.desc), jnp.asarray(self.keys),
-                           jnp.int32(self.count), self.opts)
+                           jnp.asarray(self.ids), jnp.int32(self.count),
+                           self.opts)

@@ -426,6 +426,27 @@ def compute_h_and_b(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
+def get_fitness_score(target: IcpTarget, opts: IcpOptions, src: PointCloud,
+                      R, t, max_range: float = 1.0):
+    """MatchingInterface::GetFitnessScore analog (matching_interface.h:52).
+
+    The reference DECLARES this accessor on every matcher but each
+    implementation is an unimplemented 0-return stub
+    (icp_registration.cpp:246-250, ndt_registration.cpp:466-471,
+    loam_registration.cpp:101-104); this is the PCL-convention fitness the
+    interface promises: mean squared NN distance of the transformed source
+    against the target cloud, over correspondences within `max_range`.
+    Lower is better; +inf when nothing matches. Works for every method —
+    the hash grid is always built at set_target."""
+    qs = src.xyz @ R.T + t
+    _, _, d2, valid = voxel.nn1(target.grid, qs, src.mask)
+    eff = valid & (d2 <= max_range * max_range)
+    n = jnp.sum(eff.astype(jnp.float32))
+    return jnp.where(n > 0, jnp.sum(jnp.where(eff, d2, 0.0)) / jnp.maximum(n, 1.0),
+                     jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
 def scan_match(target: IcpTarget, opts: IcpOptions, src: PointCloud, R0, t0) -> MatchResult:
     """Full GN alignment (ScanMatch -> AlignP2P/P2Line/P2Plane,
     icp_registration.cpp:216-381)."""

@@ -358,3 +358,31 @@ def scan_match(m: NdtMap, opts: NdtOptions, src: PointCloud, R0, t0) -> MatchRes
     it, R, t, converged, n_eff, chi2 = jax.lax.while_loop(cond, body, init)
     return MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
                        iterations=it, chi2=chi2)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def get_fitness_score(m: NdtMap, opts: NdtOptions, src: PointCloud, R, t,
+                      max_range: float = 1.0):
+    """GetFitnessScore for voxel-Gaussian maps (matching_interface.h:52; the
+    reference's NdtRegistration::GetFitnessScore is a 0-return stub,
+    ndt_registration.cpp:466-471): mean squared distance of each transformed
+    source point to its nearest estimated voxel CENTROID among the NEARBY6
+    stencil, over matches within `max_range`. Lower is better; +inf when
+    nothing matches. Also serves moment-table-derived ICP targets
+    (icp.target_from_moment_table), whose minimal grid carrier has no point
+    buckets for icp.get_fitness_score's exact NN."""
+    qs = src.xyz @ R.T + t
+    qc = voxel.voxel_coords(qs, 1.0 / opts.voxel_size, m.origin,
+                            mode=opts.bin_mode)
+    nb_keys = voxel.coords_to_key(
+        qc[:, None, :] + voxel.NEARBY6[None, :, :], src.mask[:, None])
+    slot, found = _lookup(m, nb_keys)
+    found = found & m.estimated[slot]
+    d2 = jnp.sum((m.mean[slot] - qs[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(found, d2, jnp.inf)
+    d2min = jnp.min(d2, axis=1)
+    eff = jnp.isfinite(d2min) & (d2min <= max_range * max_range) & src.mask
+    n = jnp.sum(eff.astype(jnp.float32))
+    return jnp.where(n > 0,
+                     jnp.sum(jnp.where(eff, d2min, 0.0)) / jnp.maximum(n, 1.0),
+                     jnp.inf)

@@ -68,8 +68,10 @@ class LioOptions:
     # poses instead of absorbing only the new scan — bounds how much odometry
     # drift bakes into the map (the accuracy gap vs the batch path, see
     # `inc_ndt` note) while paying the full-window re-sort only 1/N of the
-    # time. 0 disables (pure absorption, the reference's incremental-NDT
-    # behavior, ndt_registration.cpp:150-236).
+    # time. 0 disables rebuilds (pure absorption; note absorption always
+    # uses the voxel-DOWNSAMPLED scan — a documented, measured deviation
+    # from the reference, which feeds the raw keyframe to its incremental
+    # NDT, lio.cpp:299).
     vox_inc_reanchor: int = 5
 
     @property
@@ -265,10 +267,15 @@ def _push_keyframe(opts, state: LioState, scan_xyz, scan_mask, R, t,
 
         if opts.vox_inc_reanchor > 0:
             def reanchor(m):
-                # downsampled window — consistent count scale with absorb
-                local_map, _ = _assemble_local_map(
+                # downsampled window — consistent count scale with absorb.
+                # Re-center the +-512-cell voxel key window on the window's
+                # returned origin (origin is data, so both lax.cond branch
+                # structures still match): anchoring at the ORIGINAL origin
+                # silently INVALID_KEY-drops points once the trajectory
+                # leaves the initial window (ADVICE r2).
+                local_map, origin = _assemble_local_map(
                     opts, kf_xyz, kf_mask, kf_R, kf_t)
-                m0 = ndt.empty_incremental(opts.inc_ndt, origin=m.origin)
+                m0 = ndt.empty_incremental(opts.inc_ndt, origin=origin)
                 return ndt.update_incremental(m0, local_map, opts.inc_ndt)
 
             do_re = jnp.mod(new.num_kfs, opts.vox_inc_reanchor) == 0

@@ -153,8 +153,11 @@ class Slam3d:
         self.kf_t.append(np.asarray(out.t))
         self.kf_frame.append(self._frame - 1)
         kf_id = len(self.kf_R) - 1
-        if self.scdb.count < self.opts.sc_capacity:
-            self.scdb.add(scan)
+        # Ring-buffered DB: at capacity the oldest descriptor is evicted and
+        # counted (scdb.evicted) instead of silently refusing new keyframes —
+        # loop detection keeps working on long runs over the most recent
+        # sc_capacity keyframes.
+        self.scdb.add(scan)
         cand = self._detect(scan, kf_id)
         if cand is not None and self._register_loop(cand, kf_id, scan):
             self._loops_since_opt += 1

@@ -177,3 +177,40 @@ def test_pcg_large_graph_bounded_memory():
     chi2_after = float(jnp.sum(chi2))
     assert np.isfinite(chi2_after)
     assert chi2_after < chi2_before * 0.05, (chi2_before, chi2_after)
+
+
+def test_scan_context_db_ring_buffer_eviction():
+    """At capacity the DB evicts the OLDEST descriptor (counted, never a
+    silent stop) and retrieval keeps returning stable insertion ids."""
+    world = synthetic.make_world(num_points=30000, extent=60.0, seed=5)
+    opts = sc.ScanContextOptions(exclude_recent=2, dist_threshold=0.35)
+    db = sc.ScanContextDb(capacity=4, opts=opts)
+
+    poses = [(-20.0, -20.0), (0.0, 20.0), (25.0, 5.0), (-10.0, 15.0),
+             (15.0, -25.0), (5.0, 5.0)]
+    for k, (x, y) in enumerate(poses):
+        scan = synthetic.render_scan(world, np.eye(3, dtype=np.float32),
+                                     np.array([x, y, 1.5], np.float32),
+                                     max_range=50.0, max_points=4096,
+                                     seed=k, capacity=4096)
+        assert db.add(scan) == k
+    assert db.count == 6
+    assert db.evicted == 2                      # ids 0 and 1 overwritten
+    assert set(db.ids.tolist()) == {2, 3, 4, 5}
+
+    # revisiting an EVICTED place must not (mis)match anything
+    revisit0 = synthetic.render_scan(world, np.eye(3, dtype=np.float32),
+                                     np.array([-20.0, -20.0, 1.5]),
+                                     max_range=50.0, max_points=4096,
+                                     seed=99, capacity=4096)
+    res = db.query(revisit0)
+    assert int(res.index) != 0
+
+    # revisiting a LIVE place must return its original insertion id
+    revisit2 = synthetic.render_scan(world, np.eye(3, dtype=np.float32),
+                                     np.array([25.0, 5.0, 1.5]),
+                                     max_range=50.0, max_points=4096,
+                                     seed=98, capacity=4096)
+    res2 = db.query(revisit2)
+    assert bool(res2.found) and int(res2.index) == 2, (
+        int(res2.index), float(res2.distance))

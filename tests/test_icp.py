@@ -380,3 +380,40 @@ def test_lio_icp_vox_inc_tracks():
         ates[name] = a.rmse
     assert ates["inc0"] < max(2.5 * ates["icp"], 0.1), ates
     assert ates["inc2"] < max(2.5 * ates["icp"], 0.1), ates
+
+
+def test_fitness_score():
+    """get_fitness_score (matching_interface.h:52 — a 0-return stub in every
+    reference matcher, icp_registration.cpp:246-250): ~0 at the true pose,
+    large at a wrong pose, +inf against an empty target."""
+    rng = np.random.default_rng(11)
+    scene, src, R_true, t_true = _make_pair(rng, [0.0, 0.0, 0.05], [0.4, 0.1, 0.0])
+    opts = icp.IcpOptions(method="p2plane")
+    tgt = icp.set_target(pcm.from_numpy(scene, capacity=2048), opts)
+    src_pc = pcm.from_numpy(src, capacity=2048)
+    good = float(icp.get_fitness_score(tgt, opts, src_pc,
+                                       jnp.asarray(R_true, jnp.float32),
+                                       jnp.asarray(t_true, jnp.float32)))
+    bad = float(icp.get_fitness_score(tgt, opts, src_pc,
+                                      jnp.eye(3), jnp.array([3.0, 0.0, 0.0])))
+    assert good < 0.01, good
+    assert bad > 5 * good, (good, bad)
+
+    empty = pcm.PointCloud(xyz=jnp.full((64, 3), pcm.PAD_COORD, jnp.float32),
+                           mask=jnp.zeros((64,), bool))
+    tgt_e = icp.set_target(empty, opts)
+    inf = float(icp.get_fitness_score(tgt_e, opts, src_pc,
+                                      jnp.eye(3), jnp.zeros(3)))
+    assert np.isinf(inf)
+
+    # NDT-map variant (serves moment-table targets too)
+    from loc_lib_tpu.models import ndt
+    nopts = ndt.NdtOptions(voxel_size=1.0)
+    m = ndt.build_direct(pcm.from_numpy(scene, capacity=2048), nopts)
+    good_n = float(ndt.get_fitness_score(m, nopts, src_pc,
+                                         jnp.asarray(R_true, jnp.float32),
+                                         jnp.asarray(t_true, jnp.float32)))
+    bad_n = float(ndt.get_fitness_score(m, nopts, src_pc,
+                                        jnp.eye(3), jnp.array([30.0, 0.0, 0.0])))
+    assert np.isfinite(good_n) and good_n < 1.0
+    assert np.isinf(bad_n) or bad_n > good_n
