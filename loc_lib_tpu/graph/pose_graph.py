@@ -78,12 +78,12 @@ class PgoOptions:
     damping: float = 1e-6           # LM-style diagonal damping for stability
     gauge_weight: float = 1e8       # prior weight pinning node 0
 
-    def __post_init__(self):
-        # `optimize` clamps num_iterations to max_iterations (its hist/loop
-        # bound); a larger phase-2 count would otherwise silently truncate
-        assert self.second_phase_iterations <= self.max_iterations, (
-            f"second_phase_iterations ({self.second_phase_iterations}) must "
-            f"be <= max_iterations ({self.max_iterations})")
+    @property
+    def iteration_bound(self) -> int:
+        """Static loop/history bound of `optimize`: num_iterations is clamped
+        to this, so a second_phase_iterations > max_iterations config still
+        runs its full phase-2 count instead of silently truncating."""
+        return max(self.max_iterations, self.second_phase_iterations)
 
 
 class Se3Edges(NamedTuple):
@@ -110,7 +110,12 @@ def _se3_residual(Ri, ti, Rj, tj, Rm, tm, xi_i, xi_j):
     return lie.se3_log(Re, te)
 
 
-def _linearize_one(Ri, ti, Rj, tj, Rm, tm):
+def _linearize_one_autodiff(Ri, ti, Rj, tj, Rm, tm):
+    """Forward-mode autodiff linearization — the ORACLE the closed form is
+    pinned against (tests/test_graph.py). Pushing 12 jacfwd tangents through
+    compose/inverse/log per edge made the PGO program the most expensive XLA
+    compile in the 3D SLAM path (152 s cold, BENCH_SUITE r2
+    slam3d_loop.pgo_first_call_s); kept for verification only."""
     z = jnp.zeros(6, jnp.float32)
     r = _se3_residual(Ri, ti, Rj, tj, Rm, tm, z, z)
     Ji = jax.jacfwd(lambda x: _se3_residual(Ri, ti, Rj, tj, Rm, tm, x, z))(z)
@@ -118,7 +123,28 @@ def _linearize_one(Ri, ti, Rj, tj, Rm, tm):
     return r, Ji, Jj
 
 
+def _linearize_one(Ri, ti, Rj, tj, Rm, tm):
+    """Closed-form linearization of r = Log(T_i^{-1} T_j Z^{-1}) w.r.t. the
+    right perturbations of T_i and T_j.
+
+    With A = T_i^{-1} T_j and r = Log(A Z^{-1}):
+      * T_i side: (T_i Exp(xi))^{-1} T_j Z^{-1} = Exp(-xi) Exp(r),
+        so J_i = -Jl^{-1}(r)  (inverse left Jacobian of SE(3));
+      * T_j side: A Exp(xi) Z^{-1} = Exp(r) Exp(Ad(Z) xi),
+        so J_j = Jr^{-1}(r) Ad(Z).
+    Exact (group-theoretic Jacobians, lie.se3_jl_inv with the Barfoot Q
+    block) — pinned to the jacfwd oracle by tests; one residual evaluation
+    plus two 6x6 products instead of 12 pushed tangents."""
+    Rij, tij = lie.se3_compose(*lie.se3_inverse(Ri, ti), Rj, tj)
+    Re, te = lie.se3_compose(Rij, tij, *lie.se3_inverse(Rm, tm))
+    r = lie.se3_log(Re, te)
+    Ji = -lie.se3_jl_inv(r)
+    Jj = lie.se3_jr_inv(r) @ lie.se3_adjoint(Rm, tm)
+    return r, Ji, Jj
+
+
 _linearize = jax.vmap(_linearize_one)
+_linearize_autodiff = jax.vmap(_linearize_one_autodiff)
 
 
 def _robust_weight(opts: PgoOptions, chi2: jax.Array) -> jax.Array:
@@ -132,11 +158,20 @@ def _robust_weight(opts: PgoOptions, chi2: jax.Array) -> jax.Array:
     return jnp.ones_like(chi2)
 
 
+def _residual_one(Ri, ti, Rj, tj, Rm, tm):
+    Rij, tij = lie.se3_compose(*lie.se3_inverse(Ri, ti), Rj, tj)
+    Re, te = lie.se3_compose(Rij, tij, *lie.se3_inverse(Rm, tm))
+    return lie.se3_log(Re, te)
+
+
+_residuals = jax.vmap(_residual_one)
+
+
 def edge_chi2(nodes_R, nodes_t, edges: Se3Edges) -> jax.Array:
     """Per-edge chi2 = r^T info r at the current estimate."""
     Ri, ti = nodes_R[edges.i], nodes_t[edges.i]
     Rj, tj = nodes_R[edges.j], nodes_t[edges.j]
-    r, _, _ = _linearize(Ri, ti, Rj, tj, edges.R, edges.t)
+    r = _residuals(Ri, ti, Rj, tj, edges.R, edges.t)
     return jnp.einsum("ei,eij,ej->e", r, edges.info, r)
 
 
@@ -144,7 +179,7 @@ def edge_residual_norms(nodes_R, nodes_t, edges: Se3Edges):
     """Per-edge tangent residual split into (rot_norm [rad], trans_norm [m])."""
     Ri, ti = nodes_R[edges.i], nodes_t[edges.i]
     Rj, tj = nodes_R[edges.j], nodes_t[edges.j]
-    r, _, _ = _linearize(Ri, ti, Rj, tj, edges.R, edges.t)
+    r = _residuals(Ri, ti, Rj, tj, edges.R, edges.t)
     return jnp.linalg.norm(r[:, :3], axis=-1), jnp.linalg.norm(r[:, 3:], axis=-1)
 
 
@@ -266,7 +301,7 @@ def optimize(nodes_R, nodes_t, edges: Se3Edges, opts: PgoOptions = PgoOptions(),
     m = num_nodes or nodes_R.shape[0]
     n_it = jnp.minimum(jnp.int32(opts.max_iterations if num_iterations is None
                                  else num_iterations),
-                       opts.max_iterations)
+                       opts.iteration_bound)
 
     def cond(st):
         k = st[0]
@@ -286,7 +321,7 @@ def optimize(nodes_R, nodes_t, edges: Se3Edges, opts: PgoOptions = PgoOptions(),
         hist = jnp.where(jnp.arange(hist.shape[0]) >= k, total, hist)
         return (k + 1, R_new, t_new, hist)
 
-    hist0 = jnp.zeros((opts.max_iterations,), jnp.float32)
+    hist0 = jnp.zeros((opts.iteration_bound,), jnp.float32)
     _, R, t, chi2_hist = jax.lax.while_loop(
         cond, body, (jnp.int32(0), nodes_R, nodes_t, hist0))
     return R, t, edge_chi2(R, t, edges), chi2_hist

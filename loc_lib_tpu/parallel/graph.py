@@ -70,8 +70,8 @@ def _gn_phase(R0, t0, shard: pg.Se3Edges, opts: pg.PgoOptions, m: int,
 
 
 def _local_residual_norms(R, t, shard: pg.Se3Edges):
-    r, _, _ = pg._linearize(R[shard.i], t[shard.i], R[shard.j], t[shard.j],
-                            shard.R, shard.t)
+    r = pg._residuals(R[shard.i], t[shard.i], R[shard.j], t[shard.j],
+                      shard.R, shard.t)
     return jnp.linalg.norm(r[:, :3], axis=-1), jnp.linalg.norm(r[:, 3:], axis=-1)
 
 
@@ -85,8 +85,8 @@ def optimize(mesh: Mesh, nodes_R, nodes_t, edges: pg.Se3Edges,
         shard = pg.Se3Edges(i=e_i, j=e_j, R=e_R, t=e_t, info=e_info,
                             is_loop=e_is_loop, valid=e_valid)
         R, t, _ = _gn_phase(R0, t0, shard, opts, m, opts.max_iterations)
-        r, _, _ = pg._linearize(R[shard.i], t[shard.i], R[shard.j],
-                                t[shard.j], shard.R, shard.t)
+        r = pg._residuals(R[shard.i], t[shard.i], R[shard.j],
+                          t[shard.j], shard.R, shard.t)
         chi2 = jnp.einsum("ei,eij,ej->e", r, shard.info, r)
         return R, t, chi2
 

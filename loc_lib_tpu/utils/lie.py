@@ -149,24 +149,94 @@ def se3_exp(xi: jax.Array):
     return R, jnp.einsum("...ij,...j->...i", V, v)
 
 
-def se3_log(R: jax.Array, t: jax.Array) -> jax.Array:
-    """Log map -> (..., 6) twist [w, v]."""
-    w = so3_log(R)
+def so3_jl_inv(w: jax.Array) -> jax.Array:
+    """Closed-form inverse LEFT Jacobian of SO(3) (= V^{-1} of the SE(3)
+    exp), (..., 3) -> (..., 3, 3); Taylor-safe near 0."""
     theta2 = jnp.sum(w * w, axis=-1)
     small = theta2 < 1e-8
     theta2_safe = jnp.where(small, 1.0, theta2)
     theta = jnp.sqrt(theta2_safe)
     W = hat(w)
     W2 = W @ W
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), W.shape)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     # V^{-1} = I - W/2 + (1/theta^2 - (1+cos)/(2 theta sin)) W^2
     half_theta = 0.5 * theta
     cot = jnp.cos(half_theta) / jnp.sin(half_theta)  # theta >= 1 when "small"
     coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
                      (1.0 - half_theta * cot) / theta2_safe)
-    Vinv = eye - 0.5 * W + coef[..., None, None] * W2
-    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    return eye - 0.5 * W + coef[..., None, None] * W2
+
+
+def se3_log(R: jax.Array, t: jax.Array) -> jax.Array:
+    """Log map -> (..., 6) twist [w, v]."""
+    w = so3_log(R)
+    v = jnp.einsum("...ij,...j->...i", so3_jl_inv(w), t)
     return jnp.concatenate([w, v], axis=-1)
+
+
+def se3_adjoint(R: jax.Array, t: jax.Array) -> jax.Array:
+    """6x6 Ad(T) for the [w, v] twist ordering:
+    Ad(T) [w; v] = [R w; hat(t) R w + R v], satisfying
+    T Exp(xi) T^{-1} = Exp(Ad(T) xi)."""
+    Z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, Z], axis=-1)
+    bot = jnp.concatenate([hat(t) @ R, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _se3_Q(w: jax.Array, v: jax.Array) -> jax.Array:
+    """Barfoot's Q matrix (State Estimation for Robotics eq. 7.86b, with
+    rho=v, phi=w), the translation-rotation coupling block of the SE(3)
+    left Jacobian. Taylor-safe near theta = 0."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    c1 = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                   (theta - s) / (theta2_safe * theta))
+    c2 = jnp.where(small, 1.0 / 24.0 - theta2 / 720.0,
+                   (theta2 + 2.0 * c - 2.0) / (2.0 * theta2_safe ** 2))
+    c3 = jnp.where(small, 1.0 / 120.0 - theta2 / 2520.0,
+                   (2.0 * theta - 3.0 * s + theta * c)
+                   / (2.0 * theta2_safe ** 2 * theta))
+    W = hat(w)
+    V_ = hat(v)
+    WV, VW = W @ V_, V_ @ W
+    WVW = WV @ W
+    c1 = c1[..., None, None]
+    c2 = c2[..., None, None]
+    c3 = c3[..., None, None]
+    return (0.5 * V_
+            + c1 * (WV + VW + W @ VW)
+            + c2 * (W @ WV + VW @ W - 3.0 * WVW)
+            + c3 * (WVW @ W + W @ WVW))
+
+
+def se3_jl_inv(xi: jax.Array) -> jax.Array:
+    """Closed-form inverse LEFT Jacobian of SE(3), (..., 6) -> (..., 6, 6),
+    twist ordering [w, v]:
+        Jl(xi)     = [[J, 0], [Q, J]]   (J = SO(3) left Jacobian)
+        Jl^{-1}    = [[J^{-1}, 0], [-J^{-1} Q J^{-1}, J^{-1}]]
+    The exact derivative d/d_eps Log(Exp(eps) Exp(xi)) at eps = 0 — what the
+    pose-graph edge linearization needs in closed form instead of pushing 6
+    jacfwd tangents through compose/inverse/log (the dominant XLA compile
+    cost of the PGO program, BENCH_SUITE slam3d_loop.pgo_first_call_s)."""
+    w, v = xi[..., :3], xi[..., 3:]
+    Jinv = so3_jl_inv(w)
+    Q = _se3_Q(w, v)
+    JQJ = -Jinv @ Q @ Jinv
+    Z = jnp.zeros_like(Jinv)
+    top = jnp.concatenate([Jinv, Z], axis=-1)
+    bot = jnp.concatenate([JQJ, Jinv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def se3_jr_inv(xi: jax.Array) -> jax.Array:
+    """Closed-form inverse RIGHT Jacobian of SE(3): Jr^{-1}(xi) =
+    Jl^{-1}(-xi) — the exact derivative d/d_eps Log(Exp(xi) Exp(eps))
+    at eps = 0."""
+    return se3_jl_inv(-xi)
 
 
 def se3_retract(R, t, dx):

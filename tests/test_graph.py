@@ -214,3 +214,31 @@ def test_scan_context_db_ring_buffer_eviction():
     res2 = db.query(revisit2)
     assert bool(res2.found) and int(res2.index) == 2, (
         int(res2.index), float(res2.distance))
+
+
+def test_closed_form_edge_jacobians_match_autodiff():
+    """The closed-form edge linearization (pose_graph._linearize) is pinned
+    to the jacfwd oracle (_linearize_autodiff) across residual magnitudes,
+    including the zero-residual point every converged graph sits at."""
+    rng = np.random.default_rng(9)
+    for drift in (0.0, 0.05, 0.5, 2.0):
+        Ri = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(0, 0.6, 3), jnp.float32)))
+        ti = rng.normal(0, 3, 3).astype(np.float32)
+        Rj = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(0, 0.6, 3), jnp.float32)))
+        tj = rng.normal(0, 3, 3).astype(np.float32)
+        # measurement = true relative pose perturbed by `drift`
+        Rm = Ri.T @ Rj
+        tm = Ri.T @ (tj - ti)
+        dR, dt = (np.asarray(x) for x in lie.se3_exp(
+            jnp.asarray(rng.normal(0, drift, 6), jnp.float32)))
+        Rm = Rm @ dR
+        tm = tm + dt
+        args = tuple(jnp.asarray(x[None], jnp.float32)
+                     for x in (Ri, ti, Rj, tj, Rm, tm))
+        r_cf, Ji_cf, Jj_cf = pg._linearize(*args)
+        r_ad, Ji_ad, Jj_ad = pg._linearize_autodiff(*args)
+        np.testing.assert_allclose(np.asarray(r_cf), np.asarray(r_ad), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Ji_cf), np.asarray(Ji_ad),
+                                   atol=5e-4, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(Jj_cf), np.asarray(Jj_ad),
+                                   atol=5e-4, rtol=2e-3)

@@ -78,3 +78,46 @@ def test_se2_roundtrip():
     thc, tc = lie.se2_compose(th, t, thi, ti)
     assert abs(float(thc)) < 1e-6
     np.testing.assert_allclose(np.array(tc), 0, atol=1e-6)
+
+
+def test_se3_jacobian_inverses_closed_form():
+    """se3_jl_inv / se3_jr_inv (Barfoot Q block) pinned to autodiff of the
+    group composition they claim to differentiate."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    for mag in (1e-6, 1e-3, 0.3, 1.5, 2.8):
+        xi = jnp.asarray(rng.normal(0, 1, 6), jnp.float32)
+        xi = xi / jnp.linalg.norm(xi[:3]) * mag if mag > 0 else xi
+        # Jl^{-1}: d/de Log(Exp(e) Exp(xi)) at e = 0
+        def f_left(e, xi=xi):
+            Re, te = lie.se3_exp(e)
+            Rx, tx = lie.se3_exp(xi)
+            return lie.se3_log(*lie.se3_compose(Re, te, Rx, tx))
+        J_ad = jax.jacfwd(f_left)(jnp.zeros(6, jnp.float32))
+        J_cf = lie.se3_jl_inv(xi)
+        np.testing.assert_allclose(np.asarray(J_cf), np.asarray(J_ad),
+                                   atol=2e-4, rtol=1e-3)
+        # Jr^{-1}: d/de Log(Exp(xi) Exp(e)) at e = 0
+        def f_right(e, xi=xi):
+            Re, te = lie.se3_exp(e)
+            Rx, tx = lie.se3_exp(xi)
+            return lie.se3_log(*lie.se3_compose(Rx, tx, Re, te))
+        J_ad_r = jax.jacfwd(f_right)(jnp.zeros(6, jnp.float32))
+        J_cf_r = lie.se3_jr_inv(xi)
+        np.testing.assert_allclose(np.asarray(J_cf_r), np.asarray(J_ad_r),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_se3_adjoint():
+    """Ad(T) satisfies T Exp(xi) T^{-1} = Exp(Ad(T) xi)."""
+    rng = np.random.default_rng(5)
+    R = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(0, 0.8, 3), jnp.float32)))
+    t = rng.normal(0, 2, 3).astype(np.float32)
+    xi = jnp.asarray(rng.normal(0, 0.5, 6), jnp.float32)
+    Rx, tx = lie.se3_exp(xi)
+    lhs = lie.se3_compose(*lie.se3_compose(jnp.asarray(R), jnp.asarray(t), Rx, tx),
+                          *lie.se3_inverse(jnp.asarray(R), jnp.asarray(t)))
+    rhs = lie.se3_exp(lie.se3_adjoint(jnp.asarray(R), jnp.asarray(t)) @ xi)
+    np.testing.assert_allclose(np.asarray(lhs[0]), np.asarray(rhs[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lhs[1]), np.asarray(rhs[1]), atol=1e-4)
