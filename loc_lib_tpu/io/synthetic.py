@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pointcloud import PointCloud, from_numpy
@@ -105,6 +106,33 @@ def render_scan(world: np.ndarray, R: np.ndarray, t: np.ndarray,
     local = local + rng.normal(0.0, noise, local.shape)
     return from_numpy(local.astype(np.float32),
                       capacity=capacity or max_points)
+
+
+def annotate_rings(pc: PointCloud, num_rings: int = 16,
+                   min_elev_deg: float = -16.0,
+                   max_elev_deg: float = 16.0) -> PointCloud:
+    """Attach spinning-lidar ring structure to a rendered sensor-frame scan:
+    ring index = elevation-angle bin (the hardware layout FullPointType's
+    `ring` carries, point_types.h:40-60), rows re-ordered by (ring, azimuth)
+    so a ring's points are azimuth-contiguous — the ordering the reference
+    gets for free from the driver packet and LOAM's 1-D curvature stencil
+    assumes (loam_feature_extract.cpp:47-70)."""
+    xyz = np.asarray(pc.xyz)
+    mask = np.asarray(pc.mask)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    rho = np.sqrt(x * x + y * y) + 1e-9
+    elev = np.degrees(np.arctan2(z, rho))
+    ring = np.clip(((elev - min_elev_deg)
+                    / max(max_elev_deg - min_elev_deg, 1e-6)
+                    * num_rings).astype(np.int32), 0, num_rings - 1)
+    azim = np.arctan2(y, x)
+    # valid rows first, sorted by (ring, azimuth); padding keeps its slots
+    order = np.lexsort((azim, ring, ~mask))
+    return PointCloud(
+        xyz=jnp.asarray(xyz[order]),
+        mask=jnp.asarray(mask[order]),
+        ring=jnp.asarray(np.where(mask[order], ring[order], -1)),
+    )
 
 
 def make_world_2d(extent: float = 15.0, points_per_wall: int = 600,

@@ -53,11 +53,21 @@ class LoamFeatureOptions:
 
 @dataclasses.dataclass(frozen=True)
 class LoamOption:
-    """Mirror of LoamOption (loam_registration.hpp:23-36)."""
+    """Mirror of LoamOption (loam_registration.hpp:23-36).
+
+    Defaults are the PRODUCTION fused voxel methods (surf=p2plane_vox,
+    edge=p2line_vox): per-voxel geometry precomputed at set_target, fused
+    Pallas linearization per GN iteration — the same amortization the
+    reference applies to NDT (ndt_registration.cpp:87-148 build vs :262-372
+    align), here applied to LOAM's dual targets. The reference's per-probe
+    5-NN + fit behavior (surf_icp=P2PLANE, edge_icp=P2LINE,
+    loam_registration.hpp:24-27) remains available as the pinned oracle
+    (pass method="p2plane"/"p2line"); prefer it on very sparse feature
+    clouds where voxels can't reach plane_min_pts support."""
 
     feature: LoamFeatureOptions = LoamFeatureOptions()
-    surf_icp: icp.IcpOptions = icp.IcpOptions(method="p2plane")
-    edge_icp: icp.IcpOptions = icp.IcpOptions(method="p2line")
+    surf_icp: icp.IcpOptions = icp.IcpOptions(method="p2plane_vox")
+    edge_icp: icp.IcpOptions = icp.IcpOptions(method="p2line_vox")
     min_edge_pts: int = 20
     min_surf_pts: int = 20
     max_iteration: int = 20

@@ -72,9 +72,12 @@ class Slam3dOptions:
     # Wide-basin ICP for loop re-registration (coarser gates than odometry:
     # the initial guess comes from drifted poses, cf. the reference's
     # multi-resolution wide-basin matcher, multi_resolution_likelihood_field).
+    # p2plane_vox: the loop target's plane table is built once per candidate
+    # and the fused kernel runs the 30 wide-basin iterations — same
+    # production path as odometry, coarser leaf for the wider basin.
     loop_icp: icp.IcpOptions = icp.IcpOptions(
-        method="p2plane", max_iteration=30, max_plane_distance=0.5,
-        grid_leaf=2.0, bucket_size=8)
+        method="p2plane_vox", max_iteration=30, max_plane_distance=0.5,
+        grid_leaf=2.0, bucket_size=8, plane_min_pts=4)
     sc_capacity: int = 4096           # max keyframes in the descriptor DB
 
 

@@ -78,3 +78,32 @@ def test_lio_loam_pipeline_runs():
     est_t = np.asarray(out1.t)
     assert np.isfinite(est_t).all()
     assert np.linalg.norm(est_t - t) < 0.05, (est_t, t)
+
+
+def test_loam_default_config_is_fused_and_tracks():
+    """LoamOption() defaults are the production fused voxel methods
+    (surf=p2plane_vox, edge=p2line_vox) and recover a pose end-to-end on a
+    lidar-density scene via synthetic ring annotation."""
+    from loc_lib_tpu.io import synthetic
+
+    opts = loam.LoamOption()
+    assert opts.surf_icp.method == "p2plane_vox"
+    assert opts.edge_icp.method == "p2line_vox"
+
+    world = synthetic.make_world(num_points=120000, extent=40.0, seed=3)
+    traj = synthetic.make_trajectory(num_frames=2, dt=0.1, speed=2.0)
+    fopts = loam.LoamFeatureOptions(num_scan=16, min_ring_pts=64)
+    feats = []
+    for k in range(2):
+        pc = synthetic.render_scan(world, traj.R[k], traj.t[k],
+                                   max_points=8192, noise=0.01, seed=k,
+                                   capacity=8192)
+        feats.append(loam.extract_features(
+            synthetic.annotate_rings(pc, num_rings=16), fopts))
+    target = loam.set_target(feats[0].edge, feats[0].surf, opts)
+    res = loam.scan_match(target, opts, feats[1].edge, feats[1].surf,
+                          jnp.eye(3), jnp.zeros(3))
+    rel = traj.R[0].T @ (traj.t[1] - traj.t[0])
+    err = np.linalg.norm(np.asarray(res.t) - rel)
+    assert np.isfinite(np.asarray(res.t)).all()
+    assert err < 0.1, (np.asarray(res.t), rel, int(res.num_effective))
