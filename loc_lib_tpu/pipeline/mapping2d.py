@@ -46,9 +46,23 @@ class Mapping2dOptions:
     keyframe_dist: float = 0.3           # mapping_2d.hpp:73
     keyframe_angle_deg: float = 15.0     # mapping_2d.hpp:74
     max_keyframes_in_submap: int = 50    # mapping_2d.cpp:166
+    # New submaps are seeded with the last N keyframes of the previous one
+    # (SetOccuFromOtherSubmap, submap.cpp:14-23) so matching has a real
+    # target right after every expansion instead of a single-scan sliver.
+    seed_frames: int = 10
     loop_candidate_radius: float = 15.0  # loop_closing.cpp:69
     loop_submap_gap: int = 1             # loop_closing.cpp:58
     loop_min_inlier_ratio: float = 0.4   # multi_resolution_...cpp:170
+    # Plausibility gate on accepted loop matches: reject a re-registration
+    # whose implied submap-pair transform deviates from the odometry-implied
+    # one by more than this (translation m / rotation rad). The inlier-ratio
+    # test alone accepts aliased matches meters off in self-similar worlds
+    # (measured: 4.5 m-wrong constraints at ratio >= 0.4 sent the bench
+    # trajectory into a feedback spiral); the gate bounds accepted drift
+    # correction to what odometry could plausibly have accumulated — the 2D
+    # analog of the 3D pose graph's loop_pregate (graph/pose_graph.py).
+    loop_max_trans_delta: float = 1.5
+    loop_max_rot_delta: float = 0.35
     pgo: PgoOptions = PgoOptions()
     # multi-res pyramid: coarse-to-fine pooling factors over the base field
     pyramid_factors: tuple = (8, 4, 2, 1)
@@ -94,6 +108,9 @@ class Submap:
         self.field = grid2d.likelihood_field(self.grid, opts.grid)
         self.num_frames = 0
         self.frame_ids: list[int] = []
+        # last seed_frames keyframes (scan, valid, world pose) kept for
+        # seeding the NEXT submap (submap.cpp:14-23)
+        self.recent: list[tuple] = []
 
     def world_to_submap(self, theta_wb, t_wb):
         return _np_se2_compose(*_np_se2_inverse(self.theta_ws, self.t_ws),
@@ -105,12 +122,29 @@ class Submap:
     def add_scan(self, scan_xy, valid, theta_sb, t_sb):
         """AddScanInOccupancyMap (submap.cpp:33-36): pose the scan into the
         submap frame, update occupancy, regenerate the field."""
+        th_w, t_w = self.submap_to_world(theta_sb, t_sb)
+        self.recent.append((scan_xy, valid, th_w, np.asarray(t_w, np.float32)))
+        if len(self.recent) > self.opts.seed_frames:
+            self.recent.pop(0)
+        self._rasterize(scan_xy, valid, theta_sb, t_sb)
+        self.field = grid2d.likelihood_field(self.grid, self.opts.grid)
+        self.num_frames += 1
+
+    def _rasterize(self, scan_xy, valid, theta_sb, t_sb):
         pts = _np_se2_apply(theta_sb, t_sb, scan_xy)
         self.grid = grid2d.add_scan(self.grid, self.opts.grid,
                                     jnp.asarray(pts), jnp.asarray(valid),
                                     jnp.asarray(t_sb, jnp.float32))
+
+    def seed_from(self, other: "Submap") -> None:
+        """SetOccuFromOtherSubmap (submap.cpp:14-23): rasterize the previous
+        submap's recent keyframes (at their WORLD poses re-expressed in this
+        submap's frame) so the new submap isn't an empty matching target; one
+        field regen at the end, not per frame."""
+        for scan_xy, valid, th_w, t_w in other.recent[-self.opts.seed_frames:]:
+            th_sb, t_sb = self.world_to_submap(th_w, t_w)
+            self._rasterize(scan_xy, valid, th_sb, t_sb)
         self.field = grid2d.likelihood_field(self.grid, self.opts.grid)
-        self.num_frames += 1
 
     def match_scan(self, scan_xy, valid, theta0_sb, t0_sb) -> grid2d.Align2dResult:
         return grid2d.align_gauss_newton(
@@ -171,6 +205,10 @@ class Mapping2D:
         self.last_kf_t = np.zeros(2, np.float32)
         self.frame_count = 0
         self.loops: list[LoopConstraint] = []
+        # one constraint per (historical, current) submap pair, mirroring the
+        # reference's loop_constraints_ map keyed by the pair
+        # (loop_closing.cpp:66-69, 143-145); invalidated pairs may be retried
+        self._pair_idx: dict[tuple, int] = {}
         self.frame_poses: list[tuple[float, np.ndarray]] = []
 
     # -- per-scan -----------------------------------------------------------
@@ -221,7 +259,10 @@ class Mapping2D:
                                                   jnp.asarray(valid)))
         if oob > 0.1 or cur.num_frames > self.opts.max_keyframes_in_submap:
             new = Submap(self.opts, self.theta_wb, self.t_wb, len(self.submaps))
-            # seed with the current scan so matching has a target immediately
+            # seed from the previous submap's recent keyframes
+            # (ExpandSubmap -> SetOccuFromOtherSubmap, mapping_2d.cpp:164-172)
+            # then add the current scan
+            new.seed_from(cur)
             new.add_scan(scan_xy, valid, 0.0, np.zeros(2))
             self.submaps.append(new)
 
@@ -233,6 +274,12 @@ class Mapping2D:
         cur = self.submaps[-1]
         found = False
         for sm in self.submaps[: max(0, len(self.submaps) - 1 - opts.loop_submap_gap)]:
+            # one valid constraint per submap pair (loop_closing.cpp:66-69):
+            # skip pairs already constrained; retried only if invalidated
+            pair = (sm.index, cur.index)
+            k = self._pair_idx.get(pair)
+            if k is not None and self.loops[k].valid:
+                continue
             if np.linalg.norm(sm.t_ws - self.t_wb) > opts.loop_candidate_radius:
                 continue
             th0, t0 = sm.world_to_submap(self.theta_wb, self.t_wb)
@@ -247,9 +294,22 @@ class Mapping2D:
                 cur.theta_ws, cur.t_ws)
             th_m, t_m = jax.device_get((res.theta, res.t))
             th_ij, t_ij = _np_se2_compose(float(th_m), t_m, th_b_cur, t_b_cur)
-            self.loops.append(LoopConstraint(
+            # plausibility gate vs the odometry-implied pair transform
+            th_odo, t_odo = _np_se2_compose(
+                *_np_se2_inverse(sm.theta_ws, sm.t_ws),
+                cur.theta_ws, cur.t_ws)
+            if (np.linalg.norm(np.asarray(t_ij) - t_odo)
+                    > opts.loop_max_trans_delta
+                    or abs(_np_wrap(th_ij - th_odo)) > opts.loop_max_rot_delta):
+                continue
+            lc = LoopConstraint(
                 submap_i=sm.index, submap_j=cur.index,
-                theta_ij=float(th_ij), t_ij=np.asarray(t_ij), valid=True))
+                theta_ij=float(th_ij), t_ij=np.asarray(t_ij), valid=True)
+            if k is None:
+                self._pair_idx[pair] = len(self.loops)
+                self.loops.append(lc)
+            else:
+                self.loops[k] = lc
             found = True
         if found:
             self.optimize()
@@ -288,8 +348,20 @@ class Mapping2D:
         for k, s in enumerate(self.submaps):
             s.theta_ws = float(th2[k])
             s.t_ws = t2[k]
+        old_th, old_t = self.theta_wb, self.t_wb
         th_w, t_w = cur.submap_to_world(th_sb, t_sb)
         self.theta_wb, self.t_wb = float(th_w), np.asarray(t_w, np.float32)
+        # apply the same rigid correction to the motion-model memory so the
+        # next constant-velocity guess doesn't inherit the PRE-correction
+        # frame (a correction-sized guess error right after every optimize)
+        dcorr = _np_se2_compose(self.theta_wb, self.t_wb,
+                                *_np_se2_inverse(old_th, old_t))
+        self.last_theta, self.last_t = (
+            lambda p: (p[0], np.asarray(p[1], np.float32)))(
+            _np_se2_compose(*dcorr, self.last_theta, self.last_t))
+        th_kf, t_kf = _np_se2_compose(*dcorr, self.last_kf_theta,
+                                      self.last_kf_t)
+        self.last_kf_theta, self.last_kf_t = th_kf, np.asarray(t_kf, np.float32)
 
     # -- export ---------------------------------------------------------------
     def global_occupancy(self) -> np.ndarray:

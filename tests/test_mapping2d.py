@@ -92,3 +92,33 @@ def test_se2_pcg_matches_dense():
                                        edges, opts_d)
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_d), atol=2e-3)
     np.testing.assert_allclose(np.asarray(th_p), np.asarray(th_d), atol=2e-3)
+
+
+@pytest.mark.slow
+def test_mapping2d_loop_closure_improves_accuracy():
+    """Circular run with revisit: submaps expand (seeded from the previous
+    submap, submap.cpp:14-23), loops are accepted (pair-deduped,
+    loop_closing.cpp:66-69), and the closed trajectory beats pure odometry."""
+    world = synthetic.make_world_2d(extent=10.0, seed=2)
+    frames = 80
+    scans, gt = [], []
+    for k in range(frames):
+        a = 2.0 * np.pi * k / frames
+        t = np.array([4 * np.cos(a) - 4, 4 * np.sin(a)], np.float32)
+        scans.append(synthetic.render_scan_2d(world, a, t, seed=k))
+        gt.append(t)
+
+    rmse = {}
+    engines = {}
+    for radius, tag in ((0.0, "noloop"), (15.0, "loops")):
+        m = mapping2d.Mapping2D(mapping2d.Mapping2dOptions(
+            max_keyframes_in_submap=16, loop_candidate_radius=radius))
+        errs = [np.linalg.norm(m.process_scan(*scans[k])[1] - gt[k])
+                for k in range(frames)]
+        rmse[tag] = float(np.sqrt(np.mean(np.square(errs))))
+        engines[tag] = m
+    m = engines["loops"]
+    assert len(m.submaps) > 2, len(m.submaps)
+    assert sum(1 for l in m.loops if l.valid) > 0
+    assert rmse["loops"] < 0.1, rmse
+    assert rmse["loops"] <= rmse["noloop"] * 1.2, rmse
