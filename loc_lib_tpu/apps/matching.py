@@ -26,11 +26,27 @@ from ..utils.timing import StageTimer
 
 def run_matching(log: logdir.SensorLog, global_map_xyz: np.ndarray,
                  opts: loc_mod.LocOptions, out_dir: str,
-                 init_pose: np.ndarray | None = None) -> dict:
+                 init_pose: np.ndarray | None = None,
+                 mp_shards: int = 0,
+                 shard_capacity: int | None = None) -> dict:
+    """mp_shards > 0 runs the spatially sharded Loc (pipeline/loc_sharded):
+    the box-cropped local map partitioned over an mp-axis mesh so the map
+    working set scales past one device's HBM (the scaled analog of
+    loc.cpp:187-206's 150 m box)."""
     os.makedirs(out_dir, exist_ok=True)
     import jax.numpy as jnp
 
-    engine = loc_mod.Loc(global_map_xyz, opts)
+    if mp_shards > 0:
+        import jax
+        from ..parallel import mesh as mesh_mod
+        from ..pipeline import loc_sharded
+
+        dp = max(1, jax.device_count() // mp_shards)
+        mesh = mesh_mod.make_mesh_2d(dp, mp_shards)
+        engine = loc_sharded.LocSharded(mesh, global_map_xyz, opts,
+                                        shard_capacity=shard_capacity)
+    else:
+        engine = loc_mod.Loc(global_map_xyz, opts)
 
     # initial pose: explicit > GNSS first fix > identity (cpp:198-264)
     if init_pose is None and log.gnss is not None and len(log.gnss.stamps):
@@ -76,6 +92,12 @@ def main(argv=None):
     ap.add_argument("--demo-frames", type=int, default=20)
     ap.add_argument("--config", help="slam.yaml-style config file")
     ap.add_argument("--out", default="./matching_out")
+    ap.add_argument("--mp-shards", type=int, default=0,
+                    help="shard the local map over this many devices "
+                         "(0 = single-device Loc)")
+    ap.add_argument("--shard-capacity", type=int, default=None,
+                    help="per-shard point budget (default: "
+                         "2*local_map_capacity/mp)")
     args = ap.parse_args(argv)
 
     init_pose = None
@@ -101,7 +123,9 @@ def main(argv=None):
     else:
         opts = loc_mod.LocOptions(scan_capacity=log.scan_xyz.shape[1])
 
-    report = run_matching(log, gmap, opts, args.out, init_pose=init_pose)
+    report = run_matching(log, gmap, opts, args.out, init_pose=init_pose,
+                          mp_shards=args.mp_shards,
+                          shard_capacity=args.shard_capacity)
     print(json.dumps(report))
 
 

@@ -39,10 +39,18 @@ from ..utils import lie
 
 @dataclasses.dataclass(frozen=True)
 class LocOptions:
-    """Mirror of LocOptions (loc.hpp:29-43) + TPU shape knobs."""
+    """Mirror of LocOptions (loc.hpp:29-43) + TPU shape knobs.
+
+    The ICP default is the PRODUCTION fused path (p2plane_vox: per-voxel
+    plane table built once per box crop, fused Pallas linearization per GN
+    iteration) — the 131k-point crop is rebuilt only every ~50 m
+    (recrop_margin), so its set_target cost amortizes over hundreds of
+    scans while every scan avoids the per-point 5-NN + eigh of the oracle
+    p2plane path (icp_registration.cpp:161-213 behavior, kept for parity
+    tests via IcpOptions(method="p2plane"))."""
 
     matcher: str = "icp"                # icp | ndt
-    icp: icp.IcpOptions = icp.IcpOptions()
+    icp: icp.IcpOptions = icp.IcpOptions(method="p2plane_vox")
     ndt: ndt.NdtOptions = ndt.NdtOptions()
     box_size: float = 150.0             # box_filter_size (m, cube edge)
     recrop_margin: float = 50.0         # re-crop when this close to an edge
@@ -217,8 +225,16 @@ class Loc:
         local = crop_local_map(self.map_xyz, self.map_mask, center,
                                self.opts.box_size / 2.0,
                                self.opts.local_map_capacity)
+        # snap the target-build origin to the voxel grid: floor binning is
+        # shift-invariant under integer-leaf shifts, so successive re-crops
+        # (and the mp-sharded build, pipeline/loc_sharded.py) produce
+        # IDENTICAL voxel partitions instead of ones offset by the
+        # fractional part of the pose
+        leaf = (self.opts.icp.grid_leaf if self.opts.matcher == "icp"
+                else self.opts.ndt.voxel_size)
+        origin = jnp.floor(center / leaf) * leaf
         self.state = self.state._replace(
-            map_center=center, **_build_target(self.opts, local, center))
+            map_center=center, **_build_target(self.opts, local, origin))
 
     def update_cloud(self, scan: PointCloud) -> StepResult:
         self.state, out = step(self.state, scan, self.opts)

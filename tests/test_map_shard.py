@@ -151,3 +151,54 @@ def test_sharded_incremental_ndt_update_matches_single_device():
     np.testing.assert_allclose(np.asarray(dist.R), np.asarray(ref.R),
                                atol=2e-3)
     assert int(dist.num_effective) == int(ref.num_effective)
+
+
+@pytest.mark.slow
+def test_loc_sharded_matches_single_device_pipeline():
+    """The mp-sharded Loc pipeline (pipeline/loc_sharded.py) must track the
+    single-device Loc on the same workload, with the crop sized so no single
+    shard could hold it (VERDICT r2 next #2)."""
+    from loc_lib_tpu.io import logdir, synthetic as synth
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import loc as loc_mod, loc_sharded
+
+    log = logdir.make_demo_log(num_frames=10, capacity=4096, yaw_rate=0.0,
+                               speed=2.0, world_points=60000, extent=40.0,
+                               max_range=35.0)
+    world = synth.make_world(num_points=60000, extent=40.0, seed=0)
+
+    # capacity > points-in-box (no truncation — a capped crop keeps only the
+    # FIRST rows, which in make_world's layout is the degenerate ground
+    # plane); the ~34k-point crop still exceeds the 16k per-shard budget
+    opts = loc_mod.LocOptions(scan_capacity=4096, local_map_capacity=65536,
+                              box_size=60.0, recrop_margin=20.0)
+    single = loc_mod.Loc(world, opts)
+    single.set_init_pose(log.gt_poses[0][:3, :3], log.gt_poses[0][:3, 3])
+
+    mesh = mesh_mod.make_mesh_2d(2, 4)
+    # per-shard budget well under the crop's valid points: the working set
+    # exceeds any one shard
+    sharded = loc_sharded.LocSharded(mesh, world, opts, shard_capacity=16384)
+    sharded.set_init_pose(log.gt_poses[0][:3, :3], log.gt_poses[0][:3, 3])
+    crop_points = int(np.asarray(
+        jax.tree_util.tree_leaves(sharded.target.target.grid.num_voxels)[0]).sum())
+    assert not sharded.shard_overflow().any()
+
+    for mg in log.measures(imu_capacity=64):
+        scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                          mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+        single.update_measure(scan, mg.imu_gyro, mg.imu_acce,
+                              mg.imu_stamp, mg.imu_valid)
+        sharded.update_measure(scan, mg.imu_gyro, mg.imu_acce,
+                               mg.imu_stamp, mg.imu_valid)
+
+    ps = np.stack(single.poses)
+    pd = np.stack(sharded.poses)
+    err = np.linalg.norm(ps[:, :3, 3] - pd[:, :3, 3], axis=1)
+    # identical math up to the halo-exact sharded plane build: tight parity
+    assert err.max() < 0.02, err
+    # and both track ground truth (0.4: allows the shared early-ESKF
+    # transient, which peaks ~0.30 then decays to ~0.10 by frame 10)
+    gt = log.gt_poses[: len(pd), :3, 3]
+    assert np.linalg.norm(pd[:, :3, 3] - gt, axis=1).max() < 0.4
+    assert np.linalg.norm(pd[-1, :3, 3] - gt[-1]) < 0.15
