@@ -55,6 +55,12 @@ class IcpOptions:
     """
 
     method: str = "p2plane"          # p2p | p2line | p2plane | p2plane_vox
+    # When False, the GN init's TRANSLATION is replaced by the
+    # target-source centroid difference (icp_registration.hpp:36,
+    # cpp:273-275 / 311-313). NOTE: the reference's own centroid
+    # accumulation is commented out (cpp:22-26, 261-264), so its option is
+    # inert — centers stay zero; here it is implemented functionally.
+    use_initial_translation: bool = True
     max_iteration: int = 20
     max_nn_distance: float = 1.0     # SQUARED-distance gate for P2P (cpp:75)
     max_plane_distance: float = 0.1
@@ -79,6 +85,8 @@ class IcpOptions:
 
 class IcpTarget(NamedTuple):
     grid: voxel.HashGrid
+    # masked centroid of the target cloud (for use_initial_translation=False)
+    centroid: Optional[jax.Array] = None
     # p2plane_vox extras (None for other methods). `packed` rows are
     # [n(3), d, mu(3), valid] so each candidate voxel costs ONE 32-byte row
     # gather per query; plane/plane_mu/plane_valid are views kept for tests.
@@ -232,23 +240,29 @@ def target_from_moment_table(keys, count, mean, cov, dense_table, dense_lo,
                      plane_valid=valid, dense=dense)
 
 
+def _masked_centroid(pc: PointCloud) -> jax.Array:
+    n = jnp.maximum(jnp.sum(pc.mask.astype(jnp.float32)), 1.0)
+    return jnp.sum(jnp.where(pc.mask[:, None], pc.xyz, 0.0), axis=0) / n
+
+
 @functools.partial(jax.jit, static_argnames=("opts",))
 def set_target(pc: PointCloud, opts: IcpOptions, origin=None) -> IcpTarget:
     """Build the search structure over the target cloud
     (SetInputTarget, icp_registration.cpp:9-29)."""
     grid = voxel.build_hash_grid(pc, opts.grid_leaf, opts.bucket_size, origin)
+    cen = _masked_centroid(pc)
     if opts.method not in ("p2plane_vox", "p2line_vox"):
-        return IcpTarget(grid=grid)
+        return IcpTarget(grid=grid, centroid=cen)
     dense = voxel.build_dense_index(grid.voxel_keys, dims=opts.dense_dims)
     if opts.method == "p2line_vox":
         line_packed, line_dir = _build_line_table(pc, grid, opts, dense)
-        return IcpTarget(grid=grid, dense=dense, line_packed=line_packed,
-                         line_dir=line_dir)
+        return IcpTarget(grid=grid, centroid=cen, dense=dense,
+                         line_packed=line_packed, line_dir=line_dir)
     plane, plane_mu, plane_valid = _build_plane_table(pc, grid, opts, dense)
     packed = jnp.concatenate(
         [plane, plane_mu, plane_valid[:, None].astype(jnp.float32)], axis=1)
-    return IcpTarget(grid=grid, packed=packed, plane=plane, plane_mu=plane_mu,
-                     plane_valid=plane_valid, dense=dense)
+    return IcpTarget(grid=grid, centroid=cen, packed=packed, plane=plane,
+                     plane_mu=plane_mu, plane_valid=plane_valid, dense=dense)
 
 
 class MatchResult(NamedTuple):
@@ -451,6 +465,12 @@ def scan_match(target: IcpTarget, opts: IcpOptions, src: PointCloud, R0, t0) -> 
     """Full GN alignment (ScanMatch -> AlignP2P/P2Line/P2Plane,
     icp_registration.cpp:216-381)."""
     terms = _TERM_FNS[opts.method]
+    if not opts.use_initial_translation:
+        # translation init = centroid difference (cpp:273-275; functional
+        # here, inert in the reference whose centers are never computed)
+        assert target.centroid is not None, (
+            "use_initial_translation=False needs a set_target-built target")
+        t0 = target.centroid - _masked_centroid(src)
 
     def cond(state):
         it, R, t, done, _, _ = state

@@ -417,3 +417,26 @@ def test_fitness_score():
                                         jnp.eye(3), jnp.array([30.0, 0.0, 0.0])))
     assert np.isfinite(good_n) and good_n < 1.0
     assert np.isinf(bad_n) or bad_n > good_n
+
+
+def test_use_initial_translation_false_centroid_init():
+    """use_initial_translation=False replaces the init translation with the
+    target-source centroid difference (icp_registration.cpp:273-275; the
+    reference's own centers are never computed, cpp:22-26 — implemented
+    functionally here). A pair offset by 3 m with a ZERO init must converge
+    via the centroid init where the plain init's basin fails."""
+    rng = np.random.default_rng(21)
+    scene, src, R_true, t_true = _make_pair(rng, [0.0, 0.0, 0.02],
+                                            [3.0, -2.0, 0.4])
+    tgt_pc = pcm.from_numpy(scene, capacity=2048)
+    src_pc = pcm.from_numpy(src, capacity=2048)
+    opts0 = icp.IcpOptions(method="p2p", max_nn_distance=25.0)
+    tgt = icp.set_target(tgt_pc, opts0)
+    plain = icp.scan_match(tgt, opts0, src_pc, jnp.eye(3), jnp.zeros(3))
+    opts1 = icp.IcpOptions(method="p2p", max_nn_distance=25.0,
+                           use_initial_translation=False)
+    cen = icp.scan_match(tgt, opts1, src_pc, jnp.eye(3), jnp.zeros(3))
+    _, t_err_cen = _pose_err(cen, R_true, t_true)
+    _, t_err_plain = _pose_err(plain, R_true, t_true)
+    assert t_err_cen < 0.1, t_err_cen
+    assert t_err_cen <= t_err_plain + 1e-6
