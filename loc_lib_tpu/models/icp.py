@@ -81,6 +81,16 @@ class IcpOptions:
     line_ratio: float = 3.0
     # static dims of the O(1) dense voxel index window (voxels per axis)
     dense_dims: tuple = (256, 256, 64)
+    # p2plane_vox GN refinement: re-elect correspondences only for the first
+    # k iterations, then FREEZE the (plane, weight) assignment and iterate
+    # the pure fused linearization (the plane-distance gate stays live).
+    # The election (dense lookup + (N,7,8) row gather) is ~60% of an
+    # iteration (PROFILE.md); with a scan-to-map step of ~0.2 m and 1 m
+    # voxels the election is stationary after 1-2 iterations, so freezing
+    # trades no measurable ATE for the gather cost of every later
+    # iteration. 0 = re-elect every iteration (reference-faithful
+    # re-search, icp_registration.cpp:170 per-iteration kNN).
+    freeze_election_after: int = 0
 
 
 class IcpTarget(NamedTuple):
@@ -372,12 +382,11 @@ def _p2plane_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, 
         interpret=not pallas_kernels.on_tpu())
 
 
-def _p2plane_vox_terms_unfused_pick(target: IcpTarget, opts: IcpOptions,
-                                    src: PointCloud, R, t):
-    """Oracle for `_p2plane_vox_terms`: identical correspondence election
-    (nearest-valid-centroid over NEARBY6+self) expressed as XLA argmin +
-    take_along_axis, feeding the plane-only fused kernel. Pinned equal to
-    the fused-pick path by tests/test_icp.py."""
+def _p2plane_vox_elect(target: IcpTarget, opts: IcpOptions,
+                       src: PointCloud, R, t):
+    """Correspondence election only: nearest-valid-centroid plane over the
+    NEARBY6+self stencil at the CURRENT pose. Returns (plane (N,4), w (N,))
+    — the inputs the plane-only fused kernel consumes."""
     q = src.xyz
     qs = q @ R.T + t
     qcoords = voxel.voxel_coords(qs, target.grid.inv_leaf, target.grid.origin)
@@ -392,8 +401,18 @@ def _p2plane_vox_terms_unfused_pick(target: IcpTarget, opts: IcpOptions,
     plane = jnp.take_along_axis(
         rows7[..., 0:4], pick[:, None, None], axis=1)[:, 0]  # (N, 4)
     w = (jnp.any(valid7, axis=1) & src.mask).astype(q.dtype)
+    return plane, w
+
+
+def _p2plane_vox_terms_unfused_pick(target: IcpTarget, opts: IcpOptions,
+                                    src: PointCloud, R, t):
+    """Oracle for `_p2plane_vox_terms`: identical correspondence election
+    (nearest-valid-centroid over NEARBY6+self) expressed as XLA argmin +
+    take_along_axis, feeding the plane-only fused kernel. Pinned equal to
+    the fused-pick path by tests/test_icp.py."""
+    plane, w = _p2plane_vox_elect(target, opts, src, R, t)
     H, b, n_eff, chi2 = pallas_kernels.p2plane_fused_terms(
-        q, plane, w, R, t, opts.max_plane_distance,
+        src.xyz, plane, w, R, t, opts.max_plane_distance,
         interpret=not pallas_kernels.on_tpu())
     return H, b, n_eff, chi2
 
@@ -472,6 +491,9 @@ def scan_match(target: IcpTarget, opts: IcpOptions, src: PointCloud, R0, t0) -> 
             "use_initial_translation=False needs a set_target-built target")
         t0 = target.centroid - _masked_centroid(src)
 
+    if opts.method == "p2plane_vox" and opts.freeze_election_after > 0:
+        return _scan_match_vox_frozen(target, opts, src, R0, t0)
+
     def cond(state):
         it, R, t, done, _, _ = state
         return (it < opts.max_iteration) & (~done)
@@ -495,5 +517,46 @@ def scan_match(target: IcpTarget, opts: IcpOptions, src: PointCloud, R0, t0) -> 
         jnp.float32(0.0),
     )
     it, R, t, converged, n_eff, chi2 = jax.lax.while_loop(cond, body, init)
+    return MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
+                       iterations=it, chi2=chi2)
+
+
+def _scan_match_vox_frozen(target: IcpTarget, opts: IcpOptions,
+                           src: PointCloud, R0, t0) -> MatchResult:
+    """p2plane_vox GN with election freezing (freeze_election_after > 0):
+    the first k iterations re-elect correspondences at the current pose;
+    later iterations reuse the frozen (plane, weight) assignment and run
+    ONLY the fused linearization kernel — dropping the dense lookup +
+    (N,7,8) row gather (~60% of an iteration, PROFILE.md) once the election
+    is stationary. The in-kernel |n.q+d| <= max_plane_distance gate stays
+    live every iteration, so outlier rejection still tracks the pose."""
+    n = src.capacity
+
+    def cond(state):
+        it, R, t, done = state[0], state[1], state[2], state[3]
+        return (it < opts.max_iteration) & (~done)
+
+    def body(state):
+        it, R, t, _, _, _, plane, w = state
+        plane, w = jax.lax.cond(
+            it < opts.freeze_election_after,
+            lambda a: _p2plane_vox_elect(target, opts, src, a[0], a[1]),
+            lambda a: (plane, w), (R, t))
+        H, b, n_eff, chi2 = pallas_kernels.p2plane_fused_terms(
+            src.xyz, plane, w, R, t, opts.max_plane_distance,
+            interpret=not pallas_kernels.on_tpu())
+        ok = n_eff >= opts.min_effective_pts
+        dx = jnp.where(ok, mathx.solve_gn_6x6(H, b), jnp.zeros(6, dtype=b.dtype))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        R_new, t_new = lie.se3_retract(R, t, dx)
+        converged = ok & (jnp.linalg.norm(dx) < opts.eps)
+        return (it + 1, R_new, t_new, converged, n_eff, chi2, plane, w)
+
+    init = (jnp.int32(0), jnp.asarray(R0, jnp.float32),
+            jnp.asarray(t0, jnp.float32), jnp.bool_(False), jnp.int32(0),
+            jnp.float32(0.0), jnp.zeros((n, 4), jnp.float32),
+            jnp.zeros((n,), jnp.float32))
+    it, R, t, converged, n_eff, chi2, _, _ = jax.lax.while_loop(
+        cond, body, init)
     return MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
                        iterations=it, chi2=chi2)

@@ -440,3 +440,24 @@ def test_use_initial_translation_false_centroid_init():
     _, t_err_plain = _pose_err(plain, R_true, t_true)
     assert t_err_cen < 0.1, t_err_cen
     assert t_err_cen <= t_err_plain + 1e-6
+
+
+def test_p2plane_vox_frozen_election_matches_full():
+    """freeze_election_after > 0 (pure fused-kernel refinement after the
+    first k elections) must land on the same pose as the re-elect-every-
+    iteration path."""
+    rng = np.random.default_rng(31)
+    scene, src, R_true, t_true = _make_pair(rng, [0.02, -0.03, 0.04],
+                                            [0.3, -0.2, 0.15])
+    tgt_pc = pcm.from_numpy(scene, capacity=2048)
+    src_pc = pcm.from_numpy(src, capacity=2048)
+    full_o = icp.IcpOptions(method="p2plane_vox")
+    frozen_o = icp.IcpOptions(method="p2plane_vox", freeze_election_after=2)
+    tgt = icp.set_target(tgt_pc, full_o)
+    full = icp.scan_match(tgt, full_o, src_pc, jnp.eye(3), jnp.zeros(3))
+    froz = icp.scan_match(tgt, frozen_o, src_pc, jnp.eye(3), jnp.zeros(3))
+    for res in (full, froz):
+        rot_err, t_err = _pose_err(res, R_true, t_true)
+        assert rot_err < 1e-2 and t_err < 5e-2, (rot_err, t_err)
+    assert np.linalg.norm(np.asarray(full.t) - np.asarray(froz.t)) < 1e-2
+    assert bool(froz.converged)
