@@ -251,12 +251,20 @@ class Mapping2D:
         return d > self.opts.keyframe_dist or a > np.deg2rad(self.opts.keyframe_angle_deg)
 
     def _maybe_expand(self, scan_xy, valid):
-        """ExpandSubmap triggers (mapping_2d.cpp:154-184)."""
+        """ExpandSubmap triggers (mapping_2d.cpp:154-184). The out-of-bounds
+        fraction is pure geometry — computed in host numpy (a device pull
+        here costs a full tunnel round trip per keyframe, PROFILE.md §3;
+        grid2d.out_of_bounds_fraction stays as the device-side equivalent
+        for jitted callers)."""
         cur = self.submaps[-1]
         th_sb, t_sb = cur.world_to_submap(self.theta_wb, self.t_wb)
         pts = _np_se2_apply(th_sb, t_sb, scan_xy)
-        oob = float(grid2d.out_of_bounds_fraction(self.opts.grid, jnp.asarray(pts),
-                                                  jnp.asarray(valid)))
+        g = self.opts.grid
+        px = pts * g.resolution + g.center
+        outside = ((px[:, 0] < 0) | (px[:, 0] >= g.image_size)
+                   | (px[:, 1] < 0) | (px[:, 1] >= g.image_size))
+        nvalid = max(int(np.sum(valid)), 1)
+        oob = float(np.sum(outside & np.asarray(valid)) / nvalid)
         if oob > 0.1 or cur.num_frames > self.opts.max_keyframes_in_submap:
             new = Submap(self.opts, self.theta_wb, self.t_wb, len(self.submaps))
             # seed from the previous submap's recent keyframes
