@@ -86,6 +86,22 @@ class PgoOptions:
         return max(self.max_iterations, self.second_phase_iterations)
 
 
+class PgoResult(NamedTuple):
+    """optimize() result. rot/trans_norm are the per-edge tangent residual
+    norms at the RETURNED poses (over all edges, ignoring `valid`) — folded
+    into the solve so optimize_two_phase needs no separately compiled
+    residual program (each extra program pays a large fixed remote-compile
+    cost on the tunneled testbed; BENCH_SUITE slam3d_loop
+    pgo_first_call_s)."""
+
+    R: jax.Array
+    t: jax.Array
+    chi2: jax.Array        # per-edge chi2 at the returned poses
+    chi2_hist: jax.Array   # (iteration_bound,) total chi2 per iteration
+    rot_norm: jax.Array    # (E,) [rad]
+    trans_norm: jax.Array  # (E,) [m]
+
+
 class Se3Edges(NamedTuple):
     """Relative-pose constraints i -> j with per-edge information."""
 
@@ -324,7 +340,12 @@ def optimize(nodes_R, nodes_t, edges: Se3Edges, opts: PgoOptions = PgoOptions(),
     hist0 = jnp.zeros((opts.iteration_bound,), jnp.float32)
     _, R, t, chi2_hist = jax.lax.while_loop(
         cond, body, (jnp.int32(0), nodes_R, nodes_t, hist0))
-    return R, t, edge_chi2(R, t, edges), chi2_hist
+    r = _residuals(R[edges.i], t[edges.i], R[edges.j], t[edges.j],
+                   edges.R, edges.t)
+    chi2 = jnp.einsum("ei,eij,ej->e", r, edges.info, r)
+    return PgoResult(R=R, t=t, chi2=chi2, chi2_hist=chi2_hist,
+                     rot_norm=jnp.linalg.norm(r[:, :3], axis=-1),
+                     trans_norm=jnp.linalg.norm(r[:, 3:], axis=-1))
 
 
 def optimize_two_phase(nodes_R, nodes_t, edges: Se3Edges,
@@ -334,23 +355,27 @@ def optimize_two_phase(nodes_R, nodes_t, edges: Se3Edges,
     tangent residual exceeds the (trans, rot) gates, optimize again
     without them.
 
-    Returns (R, t, loop_edge_inlier_mask)."""
-    rot0, trans0 = edge_residual_norms(nodes_R, nodes_t, edges)
-    plausible = (~edges.is_loop) | ((trans0 <= opts.loop_pregate_trans)
-                                    & (rot0 <= opts.loop_pregate_rot))
+    Returns (R, t, loop_edge_inlier_mask).
+
+    ALL THREE stages (pre-gate residuals via num_iterations=0, phase 1,
+    phase 2) are calls into the SAME compiled optimize program — the
+    traced iteration count and the norms folded into PgoResult mean the
+    whole two-phase scheme costs exactly one XLA compile."""
+    res0 = optimize(nodes_R, nodes_t, edges, opts,
+                    num_iterations=jnp.int32(0))
+    plausible = (~edges.is_loop) | (
+        (res0.trans_norm <= opts.loop_pregate_trans)
+        & (res0.rot_norm <= opts.loop_pregate_rot))
     edges1 = edges._replace(valid=edges.valid & plausible)
-    # both phases pass num_iterations as a traced scalar -> ONE compiled
-    # optimize program serves both (halves the first-call compile time)
-    R, t, chi2, _ = optimize(nodes_R, nodes_t, edges1, opts,
-                             num_iterations=jnp.int32(opts.max_iterations))
-    rot_n, trans_n = edge_residual_norms(R, t, edges)
+    res1 = optimize(nodes_R, nodes_t, edges1, opts,
+                    num_iterations=jnp.int32(opts.max_iterations))
     inlier = plausible & ((~edges.is_loop)
-                          | ((trans_n <= opts.loop_gate_trans)
-                             & (rot_n <= opts.loop_gate_rot)))
+                          | ((res1.trans_norm <= opts.loop_gate_trans)
+                             & (res1.rot_norm <= opts.loop_gate_rot)))
     edges2 = edges._replace(valid=edges.valid & inlier)
-    R, t, _, _ = optimize(R, t, edges2, opts,
-                          num_iterations=jnp.int32(opts.second_phase_iterations))
-    return R, t, inlier & edges.is_loop
+    res2 = optimize(res1.R, res1.t, edges2, opts,
+                    num_iterations=jnp.int32(opts.second_phase_iterations))
+    return res2.R, res2.t, inlier & edges.is_loop
 
 
 def odometry_edges(poses_R, poses_t, info_scale: float = 1e4) -> Se3Edges:
@@ -371,3 +396,31 @@ def odometry_edges(poses_R, poses_t, info_scale: float = 1e4) -> Se3Edges:
 
 def concat_edges(a: Se3Edges, b: Se3Edges) -> Se3Edges:
     return Se3Edges(*[jnp.concatenate([x, y]) for x, y in zip(a, b)])
+
+
+def pad_graph(nodes_R, nodes_t, edges: Se3Edges, bucket: int = 16):
+    """Pad nodes and edges up to the next multiple of `bucket`.
+
+    A growing pose graph changes shape on every new keyframe, and with
+    static-shape jit each solve would recompile (tens of seconds per
+    compile on a remote-compile testbed). Bucketing caps recompiles at
+    one per bucket step. Padded nodes are identity with NO incident edges
+    (their normal equations reduce to the damping term, dx = 0), padded
+    edges carry valid=False; results for real nodes are bit-identical.
+    Returns (R_pad, t_pad, edges_pad, m_real)."""
+    m, e = nodes_R.shape[0], edges.i.shape[0]
+    mp = -(-m // bucket) * bucket
+    ep = -(-e // bucket) * bucket
+    if mp == m and ep == e:
+        return nodes_R, nodes_t, edges, m
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (mp - m, 3, 3))
+    R_pad = jnp.concatenate([nodes_R, eye])
+    t_pad = jnp.concatenate([nodes_t, jnp.zeros((mp - m, 3), jnp.float32)])
+    k = ep - e
+    pad = Se3Edges(
+        i=jnp.zeros((k,), jnp.int32), j=jnp.zeros((k,), jnp.int32),
+        R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (k, 3, 3)),
+        t=jnp.zeros((k, 3), jnp.float32),
+        info=jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (k, 6, 6)),
+        is_loop=jnp.zeros((k,), bool), valid=jnp.zeros((k,), bool))
+    return R_pad, t_pad, concat_edges(edges, pad), m

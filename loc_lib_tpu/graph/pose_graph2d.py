@@ -23,6 +23,18 @@ from ..utils import lie
 from .pose_graph import PgoOptions, solve_pcg
 
 
+class Pgo2dResult(NamedTuple):
+    """optimize() result (see pose_graph.PgoResult: norms folded into the
+    solve so two-phase costs exactly one XLA compile)."""
+
+    theta: jax.Array
+    t: jax.Array
+    chi2: jax.Array
+    chi2_hist: jax.Array
+    rot_norm: jax.Array
+    trans_norm: jax.Array
+
+
 class Se2Edges(NamedTuple):
     i: jax.Array        # (E,) int32
     j: jax.Array        # (E,) int32
@@ -93,7 +105,7 @@ def optimize(theta, t, edges: Se2Edges, opts: PgoOptions = PgoOptions(),
     m = num_nodes or theta.shape[0]
     n_it = jnp.minimum(jnp.int32(opts.max_iterations if num_iterations is None
                                  else num_iterations),
-                       opts.max_iterations)
+                       opts.iteration_bound)
 
     def gn_iter(carry, _):
         th, tt = carry
@@ -149,10 +161,15 @@ def optimize(theta, t, edges: Se2Edges, opts: PgoOptions = PgoOptions(),
         hist = jnp.where(jnp.arange(hist.shape[0]) >= k, total, hist)
         return (k + 1, th2, tt2, hist)
 
-    hist0 = jnp.zeros((opts.max_iterations,), jnp.float32)
+    hist0 = jnp.zeros((opts.iteration_bound,), jnp.float32)
     _, th, tt, hist = jax.lax.while_loop(
         cond, body, (jnp.int32(0), theta, t, hist0))
-    return th, tt, edge_chi2(th, tt, edges), hist
+    r, _, _ = _linearize(th[edges.i], tt[edges.i], th[edges.j], tt[edges.j],
+                         edges.theta, edges.t)
+    chi2 = jnp.einsum("ei,eij,ej->e", r, edges.info, r)
+    return Pgo2dResult(theta=th, t=tt, chi2=chi2, chi2_hist=hist,
+                       rot_norm=jnp.abs(r[:, 2]),
+                       trans_norm=jnp.linalg.norm(r[:, :2], axis=-1))
 
 
 def optimize_two_phase(theta, t, edges: Se2Edges,
@@ -160,23 +177,24 @@ def optimize_two_phase(theta, t, edges: Se2Edges,
     """Two-phase optimize + residual-gated loop validation
     (loop_closing.cpp:219-246; the reference gates on chi2 with info = I,
     i.e. on raw residual magnitude — see PgoOptions.loop_gate_*).
-    Returns (theta, t, loop_inlier_mask_over_all_edges)."""
-    rot0, trans0 = edge_residual_norms(theta, t, edges)
-    plausible = (~edges.is_loop) | ((trans0 <= opts.loop_pregate_trans)
-                                    & (rot0 <= opts.loop_pregate_rot))
+    Returns (theta, t, loop_inlier_mask_over_all_edges).
+
+    All three stages (pre-gate via num_iterations=0, phase 1, phase 2) are
+    calls into ONE compiled optimize program (see pose_graph)."""
+    res0 = optimize(theta, t, edges, opts, num_iterations=jnp.int32(0))
+    plausible = (~edges.is_loop) | (
+        (res0.trans_norm <= opts.loop_pregate_trans)
+        & (res0.rot_norm <= opts.loop_pregate_rot))
     edges1 = edges._replace(valid=edges.valid & plausible)
-    # traced iteration counts -> one compiled optimize serves both phases
-    th, tt, chi2, _ = optimize(theta, t, edges1, opts,
-                               num_iterations=jnp.int32(opts.max_iterations))
-    rot_n, trans_n = edge_residual_norms(th, tt, edges)
+    res1 = optimize(theta, t, edges1, opts,
+                    num_iterations=jnp.int32(opts.max_iterations))
     inlier = plausible & ((~edges.is_loop)
-                          | ((trans_n <= opts.loop_gate_trans)
-                             & (rot_n <= opts.loop_gate_rot)))
+                          | ((res1.trans_norm <= opts.loop_gate_trans)
+                             & (res1.rot_norm <= opts.loop_gate_rot)))
     edges2 = edges._replace(valid=edges.valid & inlier)
-    th, tt, _, _ = optimize(
-        th, tt, edges2, opts,
-        num_iterations=jnp.int32(opts.second_phase_iterations))
-    return th, tt, inlier & edges.is_loop
+    res2 = optimize(res1.theta, res1.t, edges2, opts,
+                    num_iterations=jnp.int32(opts.second_phase_iterations))
+    return res2.theta, res2.t, inlier & edges.is_loop
 
 
 def odometry_edges(theta, t, info_scale: float = 1e4) -> Se2Edges:
@@ -197,3 +215,25 @@ def odometry_edges(theta, t, info_scale: float = 1e4) -> Se2Edges:
 
 def concat_edges(a: Se2Edges, b: Se2Edges) -> Se2Edges:
     return Se2Edges(*[jnp.concatenate([x, y]) for x, y in zip(a, b)])
+
+
+def pad_graph(theta, t, edges: Se2Edges, bucket: int = 8):
+    """Pad nodes and edges up to the next multiple of `bucket` (the SE(2)
+    analog of pose_graph.pad_graph): caps shape-driven recompiles of the
+    solver at one per bucket step while a mapping run grows its submap
+    graph. Padded nodes are identity with no incident edges; padded edges
+    carry valid=False. Returns (theta_pad, t_pad, edges_pad, m_real)."""
+    m, e = theta.shape[0], edges.i.shape[0]
+    mp = -(-m // bucket) * bucket
+    ep = -(-e // bucket) * bucket
+    if mp == m and ep == e:
+        return theta, t, edges, m
+    theta_pad = jnp.concatenate([theta, jnp.zeros((mp - m,), jnp.float32)])
+    t_pad = jnp.concatenate([t, jnp.zeros((mp - m, 2), jnp.float32)])
+    k = ep - e
+    pad = Se2Edges(
+        i=jnp.zeros((k,), jnp.int32), j=jnp.zeros((k,), jnp.int32),
+        theta=jnp.zeros((k,), jnp.float32), t=jnp.zeros((k, 2), jnp.float32),
+        info=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (k, 3, 3)),
+        is_loop=jnp.zeros((k,), bool), valid=jnp.zeros((k,), bool))
+    return theta_pad, t_pad, concat_edges(edges, pad), m

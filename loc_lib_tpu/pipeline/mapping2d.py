@@ -342,11 +342,15 @@ class Mapping2D:
             is_loop=jnp.ones((len(self.loops),), bool),
             valid=jnp.asarray([l.valid for l in self.loops]))
         edges = pg2.concat_edges(edges, loops)
-        th2, t2, inlier = pg2.optimize_two_phase(theta, t, edges, self.opts.pgo)
-        th2, t2 = np.asarray(th2), np.asarray(t2)
+        # pad to shape buckets: without it every new submap recompiles the
+        # solver (tens of seconds per compile on a remote-compile testbed)
+        theta_p, t_p, edges_p, _ = pg2.pad_graph(theta, t, edges)
+        th2, t2, inlier = pg2.optimize_two_phase(theta_p, t_p, edges_p,
+                                                 self.opts.pgo)
+        th2, t2 = np.asarray(th2)[:m], np.asarray(t2)[:m]
         # write back submap poses and deactivate rejected loops (cpp:243-246)
         n_odo = m - 1
-        inl = np.asarray(inlier)[n_odo:]
+        inl = np.asarray(inlier)[n_odo: n_odo + len(self.loops)]
         for k, l in enumerate(self.loops):
             if not inl[k]:
                 self.loops[k] = l._replace(valid=False)

@@ -250,9 +250,15 @@ class Slam3d:
         nodes_R = jnp.asarray(np.stack(self.kf_R), jnp.float32)
         nodes_t = jnp.asarray(np.stack(self.kf_t), jnp.float32)
         edges = self._build_edges()
+        n_real_edges = int(edges.i.shape[0])
+        # shape-bucketed padding: a growing keyframe graph would otherwise
+        # recompile the solver on every optimize call (pg.pad_graph)
+        nodes_R, nodes_t, edges, m_real = pg.pad_graph(nodes_R, nodes_t,
+                                                       edges)
         R_opt, t_opt, inliers = pg.optimize_two_phase(
             nodes_R, nodes_t, edges, self.opts.pgo)
-        R_opt, t_opt = np.asarray(R_opt), np.asarray(t_opt)
+        R_opt = np.asarray(R_opt)[:m_real]
+        t_opt = np.asarray(t_opt)[:m_real]
 
         # Correct the live front-end by the last keyframe's update
         # (UpdateFramePoseWorld analog, submap.cpp:46-50).
@@ -263,8 +269,10 @@ class Slam3d:
         for i in range(len(self.kf_R)):
             self.kf_R[i] = R_opt[i]
             self.kf_t[i] = t_opt[i]
+        # loop edges sit between the odometry chain and any shape padding
         n_loop_edges = len(self.loops)
-        self.loop_inliers = np.asarray(inliers)[-n_loop_edges:]
+        self.loop_inliers = np.asarray(
+            inliers)[n_real_edges - n_loop_edges: n_real_edges]
         self._loops_since_opt = 0
         return True
 

@@ -127,10 +127,10 @@ def test_pcg_matches_dense_solver():
     edges = pg.concat_edges(odo, loop)
     o_dense = dataclasses.replace(pg.PgoOptions(), solver="dense")
     o_pcg = dataclasses.replace(pg.PgoOptions(), solver="pcg")
-    Rd, td, chi2_d, _ = pg.optimize(jnp.asarray(R_est), jnp.asarray(t_est),
-                                    edges, o_dense)
-    Rp, tp, chi2_p, _ = pg.optimize(jnp.asarray(R_est), jnp.asarray(t_est),
-                                    edges, o_pcg)
+    rd = pg.optimize(jnp.asarray(R_est), jnp.asarray(t_est), edges, o_dense)
+    rp = pg.optimize(jnp.asarray(R_est), jnp.asarray(t_est), edges, o_pcg)
+    Rd, td, chi2_d = rd.R, rd.t, rd.chi2
+    Rp, tp, chi2_p = rp.R, rp.t, rp.chi2
     np.testing.assert_allclose(np.asarray(tp), np.asarray(td), atol=2e-3)
     np.testing.assert_allclose(np.asarray(Rp), np.asarray(Rd), atol=2e-3)
     np.testing.assert_allclose(float(chi2_p.sum()), float(chi2_d.sum()),
@@ -172,8 +172,8 @@ def test_pcg_large_graph_bounded_memory():
                                max_iterations=3, max_cg_iterations=100)
     chi2_before = float(jnp.sum(pg.edge_chi2(jnp.asarray(R_est),
                                              jnp.asarray(t_est), edges)))
-    R, t, chi2, hist = pg.optimize(jnp.asarray(R_est), jnp.asarray(t_est),
-                                   edges, opts)
+    res = pg.optimize(jnp.asarray(R_est), jnp.asarray(t_est), edges, opts)
+    R, t, chi2, hist = res.R, res.t, res.chi2, res.chi2_hist
     chi2_after = float(jnp.sum(chi2))
     assert np.isfinite(chi2_after)
     assert chi2_after < chi2_before * 0.05, (chi2_before, chi2_after)

@@ -86,10 +86,10 @@ def test_se2_pcg_matches_dense():
     edges = pg2.odometry_edges(jnp.asarray(ang), jnp.asarray(t_gt))
     opts_p = dataclasses.replace(PgoOptions(), max_iterations=10)
     opts_d = dataclasses.replace(opts_p, solver="dense")
-    th_p, t_p, chi_p, _ = pg2.optimize(jnp.asarray(th), jnp.asarray(t),
-                                       edges, opts_p)
-    th_d, t_d, chi_d, _ = pg2.optimize(jnp.asarray(th), jnp.asarray(t),
-                                       edges, opts_d)
+    rp = pg2.optimize(jnp.asarray(th), jnp.asarray(t), edges, opts_p)
+    rd = pg2.optimize(jnp.asarray(th), jnp.asarray(t), edges, opts_d)
+    th_p, t_p, chi_p = rp.theta, rp.t, rp.chi2
+    th_d, t_d, chi_d = rd.theta, rd.t, rd.chi2
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_d), atol=2e-3)
     np.testing.assert_allclose(np.asarray(th_p), np.asarray(th_d), atol=2e-3)
 

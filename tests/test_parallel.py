@@ -113,8 +113,8 @@ def test_distributed_pgo_matches_single_device(n_dev):
     from loc_lib_tpu.parallel import graph as pgraph
     m = mesh_mod.make_mesh(n_dev)
     R_est, t_est, edges, _ = _pgo_chain()
-    R1, t1, chi2_1, _ = pg.optimize(jnp.asarray(R_est), jnp.asarray(t_est),
-                                    edges)
+    r1 = pg.optimize(jnp.asarray(R_est), jnp.asarray(t_est), edges)
+    R1, t1, chi2_1 = r1.R, r1.t, r1.chi2
     Rd, td, chi2_d = pgraph.optimize(m, jnp.asarray(R_est),
                                      jnp.asarray(t_est), edges)
     np.testing.assert_allclose(np.asarray(td), np.asarray(t1), atol=3e-3)
