@@ -83,14 +83,22 @@ class IcpOptions:
     dense_dims: tuple = (256, 256, 64)
     # p2plane_vox GN refinement: re-elect correspondences only for the first
     # k iterations, then FREEZE the (plane, weight) assignment and iterate
-    # the pure fused linearization (the plane-distance gate stays live).
-    # The election (dense lookup + (N,7,8) row gather) is ~60% of an
-    # iteration (PROFILE.md); with a scan-to-map step of ~0.2 m and 1 m
-    # voxels the election is stationary after 1-2 iterations, so freezing
-    # trades no measurable ATE for the gather cost of every later
-    # iteration. 0 = re-elect every iteration (reference-faithful
-    # re-search, icp_registration.cpp:170 per-iteration kNN).
+    # the pure fused linearization (the plane-distance gate stays live);
+    # any iteration whose pose has moved more than elect_dx_threshold
+    # (translation metres; rotation via angle * elect_rot_scale) since the
+    # last election re-elects. MEASURED VERDICT — leave this at 0 in any
+    # MAPPING/LOCALIZATION feedback loop: single-match microbenchmarks show
+    # up to 1.6x per-match speedup at equal-or-better pose error (the
+    # election gather is ~60% of an iteration, PROFILE.md), but inside the
+    # LIO pipeline the slight per-frame bias of frozen refinement bakes
+    # into the map and ATE degrades 6x (0.27 vs 0.044 on the bench log)
+    # with no net throughput gain; Loc with 0.3 m transients diverges
+    # outright under looser gating. Opt-in for one-shot registrations only.
+    # 0 = re-elect every iteration (reference-faithful re-search,
+    # icp_registration.cpp:170 per-iteration kNN).
     freeze_election_after: int = 0
+    elect_dx_threshold: float = 0.15
+    elect_rot_scale: float = 30.0   # m of drift per rad at scene scale
 
 
 class IcpTarget(NamedTuple):
@@ -528,8 +536,12 @@ def _scan_match_vox_frozen(target: IcpTarget, opts: IcpOptions,
     later iterations reuse the frozen (plane, weight) assignment and run
     ONLY the fused linearization kernel — dropping the dense lookup +
     (N,7,8) row gather (~60% of an iteration, PROFILE.md) once the election
-    is stationary. The in-kernel |n.q+d| <= max_plane_distance gate stays
-    live every iteration, so outlier rejection still tracks the pose."""
+    is stationary. ADAPTIVE GUARD: any iteration whose PREVIOUS step
+    |dx| > elect_dx_threshold re-elects — large steps mean correspondences
+    are still moving (poor init / transient), and there the frozen
+    assignment demonstrably diverges. The in-kernel |n.q+d| <=
+    max_plane_distance gate stays live every iteration, so outlier
+    rejection still tracks the pose."""
     n = src.capacity
 
     def cond(state):
@@ -537,11 +549,20 @@ def _scan_match_vox_frozen(target: IcpTarget, opts: IcpOptions,
         return (it < opts.max_iteration) & (~done)
 
     def body(state):
-        it, R, t, _, _, _, plane, w = state
-        plane, w = jax.lax.cond(
-            it < opts.freeze_election_after,
-            lambda a: _p2plane_vox_elect(target, opts, src, a[0], a[1]),
-            lambda a: (plane, w), (R, t))
+        (it, R, t, _, _, _, plane, w, R_e, t_e) = state
+        moved = (jnp.linalg.norm(t - t_e)
+                 + opts.elect_rot_scale
+                 * jnp.linalg.norm(lie.so3_log(R_e.T @ R)))
+        elect = (it < opts.freeze_election_after) | (
+            moved > opts.elect_dx_threshold)
+
+        def do_elect(a):
+            R_c, t_c = a
+            pl, ww = _p2plane_vox_elect(target, opts, src, R_c, t_c)
+            return pl, ww, R_c, t_c
+
+        plane, w, R_e, t_e = jax.lax.cond(
+            elect, do_elect, lambda a: (plane, w, R_e, t_e), (R, t))
         H, b, n_eff, chi2 = pallas_kernels.p2plane_fused_terms(
             src.xyz, plane, w, R, t, opts.max_plane_distance,
             interpret=not pallas_kernels.on_tpu())
@@ -550,13 +571,17 @@ def _scan_match_vox_frozen(target: IcpTarget, opts: IcpOptions,
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         R_new, t_new = lie.se3_retract(R, t, dx)
         converged = ok & (jnp.linalg.norm(dx) < opts.eps)
-        return (it + 1, R_new, t_new, converged, n_eff, chi2, plane, w)
+        return (it + 1, R_new, t_new, converged, n_eff, chi2, plane, w,
+                R_e, t_e)
 
+    big = jnp.float32(1e9)
     init = (jnp.int32(0), jnp.asarray(R0, jnp.float32),
             jnp.asarray(t0, jnp.float32), jnp.bool_(False), jnp.int32(0),
             jnp.float32(0.0), jnp.zeros((n, 4), jnp.float32),
-            jnp.zeros((n,), jnp.float32))
-    it, R, t, converged, n_eff, chi2, _, _ = jax.lax.while_loop(
+            jnp.zeros((n,), jnp.float32),
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.full((3,), big))   # far-away anchor: iteration 0 elects
+    it, R, t, converged, n_eff, chi2, _, _, _, _ = jax.lax.while_loop(
         cond, body, init)
     return MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
                        iterations=it, chi2=chi2)

@@ -128,6 +128,13 @@ class Submap:
             self.recent.pop(0)
         self._rasterize(scan_xy, valid, theta_sb, t_sb)
         self.field = grid2d.likelihood_field(self.grid, self.opts.grid)
+        # Explicit sync: on the tunneled-TPU testbed a QUEUE of async
+        # dispatches drained by one later pull degrades ~40x (measured
+        # 3.3 s/frame pipelined vs 80 ms/frame with per-group syncs —
+        # the inverse of normal JAX async behavior; PROFILE.md §3). The 2D
+        # pipeline is host-interactive anyway, so syncing after the
+        # occupancy+field group costs nothing real.
+        jax.block_until_ready(self.field)
         self.num_frames += 1
 
     def _rasterize(self, scan_xy, valid, theta_sb, t_sb):
@@ -145,6 +152,7 @@ class Submap:
             th_sb, t_sb = self.world_to_submap(th_w, t_w)
             self._rasterize(scan_xy, valid, th_sb, t_sb)
         self.field = grid2d.likelihood_field(self.grid, self.opts.grid)
+        jax.block_until_ready(self.field)  # see add_scan
 
     def match_scan(self, scan_xy, valid, theta0_sb, t0_sb) -> grid2d.Align2dResult:
         return grid2d.align_gauss_newton(
