@@ -63,6 +63,12 @@ class Mapping2dOptions:
     # analog of the 3D pose graph's loop_pregate (graph/pose_graph.py).
     loop_max_trans_delta: float = 1.5
     loop_max_rot_delta: float = 0.35
+    # A FAILED loop-match attempt against a submap pair is retried only
+    # after the robot has moved this far — a new viewpoint gives the match
+    # a new chance, re-matching from the same spot just repeats the failure
+    # (the reference re-attempts every keyframe, loop_closing.cpp:120-158;
+    # each multires attempt costs a full 4-level pyramid alignment).
+    loop_retry_move_m: float = 1.0
     pgo: PgoOptions = PgoOptions()
     # multi-res pyramid: coarse-to-fine pooling factors over the base field
     pyramid_factors: tuple = (8, 4, 2, 1)
@@ -217,6 +223,8 @@ class Mapping2D:
         # reference's loop_constraints_ map keyed by the pair
         # (loop_closing.cpp:66-69, 143-145); invalidated pairs may be retried
         self._pair_idx: dict[tuple, int] = {}
+        # body position at the last FAILED attempt per pair (retry throttle)
+        self._pair_attempt_t: dict[tuple, np.ndarray] = {}
         self.frame_poses: list[tuple[float, np.ndarray]] = []
 
     # -- per-scan -----------------------------------------------------------
@@ -298,9 +306,15 @@ class Mapping2D:
                 continue
             if np.linalg.norm(sm.t_ws - self.t_wb) > opts.loop_candidate_radius:
                 continue
+            last_t = self._pair_attempt_t.get(pair)
+            if (last_t is not None
+                    and np.linalg.norm(self.t_wb - last_t)
+                    < opts.loop_retry_move_m):
+                continue  # same viewpoint as the last failed attempt
             th0, t0 = sm.world_to_submap(self.theta_wb, self.t_wb)
             res, ok = sm.match_multires(scan_xy, valid, th0, t0)
             if not ok:
+                self._pair_attempt_t[pair] = self.t_wb.copy()
                 continue
             # constraint between submap sm and current submap:
             # T_sm_cur = T_sm_b * T_b_cur, with T_sm_b from the match and
@@ -317,6 +331,7 @@ class Mapping2D:
             if (np.linalg.norm(np.asarray(t_ij) - t_odo)
                     > opts.loop_max_trans_delta
                     or abs(_np_wrap(th_ij - th_odo)) > opts.loop_max_rot_delta):
+                self._pair_attempt_t[pair] = self.t_wb.copy()
                 continue
             lc = LoopConstraint(
                 submap_i=sm.index, submap_j=cur.index,

@@ -202,3 +202,43 @@ def test_loc_sharded_matches_single_device_pipeline():
     gt = log.gt_poses[: len(pd), :3, 3]
     assert np.linalg.norm(pd[:, :3, 3] - gt, axis=1).max() < 0.4
     assert np.linalg.norm(pd[-1, :3, 3] - gt[-1]) < 0.15
+
+
+@pytest.mark.slow
+def test_loc_sharded_recrop_across_box_edge():
+    """Driving toward the box edge must trigger a re-crop of the SHARDED
+    map (new slab partition centered on the pose) and tracking must survive
+    the swap (loc.cpp:235-246 semantics on the mp-sharded pipeline)."""
+    from loc_lib_tpu.io import logdir, synthetic as synth
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import loc as loc_mod, loc_sharded
+
+    log = logdir.make_demo_log(num_frames=30, capacity=4096, yaw_rate=0.0,
+                               speed=2.0, world_points=60000, extent=40.0,
+                               max_range=8.0)
+    world = synth.make_world(num_points=60000, extent=40.0, seed=0)
+    # the box must COVER the scan range (ref: 150 m box vs ~70 m lidar,
+    # loc.hpp:35) — a box smaller than the scans starves the matcher of
+    # correspondences and diverges regardless of sharding. 8 m scans in a
+    # 24 m box; 6 m of travel crosses into the 8 m recrop margin.
+    opts = loc_mod.LocOptions(scan_capacity=4096, local_map_capacity=65536,
+                              box_size=24.0, recrop_margin=8.0)
+    mesh = mesh_mod.make_mesh_2d(2, 4)
+    eng = loc_sharded.LocSharded(mesh, world, opts, shard_capacity=16384)
+    # init at the FIRST measure group's ground truth (the sync emits its
+    # first group a few frames in, once the IMU buffer covers a scan)
+    mgs = list(log.measures(imu_capacity=64))
+    T0 = log.gt_poses[mgs[0].scan_index]
+    eng.set_init_pose(T0[:3, :3], T0[:3, 3])
+    center0 = np.asarray(eng.state.map_center)
+
+    for mg in mgs:
+        scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                          mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+        eng.update_measure(scan, mg.imu_gyro, mg.imu_acce,
+                           mg.imu_stamp, mg.imu_valid)
+    center1 = np.asarray(eng.state.map_center)
+    assert np.linalg.norm(center1 - center0) > 1.0, (center0, center1)
+    p = np.stack(eng.poses)[:, :3, 3]
+    gt = log.gt_poses[: len(p), :3, 3]
+    assert np.linalg.norm(p[-1] - gt[-1]) < 0.5, (p[-1], gt[-1])
