@@ -70,6 +70,25 @@ _WORKER = textwrap.dedent("""
     t_rel = traj.R[0].T @ (traj.t[1] - traj.t[0])
     assert np.linalg.norm(t - t_rel) < 0.15, (t, t_rel)
     print(f"proc {pid}: OK t={t}")
+
+    # the FULL sharded-Loc pipeline over the cross-process mesh: box crop
+    # partitioned over 'mp' spanning both processes, one measure-group step
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import loc as loc_mod, loc_sharded
+
+    lopts = loc_mod.LocOptions(
+        icp=opts, scan_capacity=2048, local_map_capacity=8192,
+        box_size=40.0, recrop_margin=10.0)
+    eng = loc_sharded.LocSharded(mesh, np.asarray(world, np.float32), lopts,
+                                 shard_capacity=4096)
+    eng.set_init_pose(np.asarray(traj.R[0]), np.asarray(traj.t[0]))
+    gyro = jnp.zeros((8, 3), jnp.float32)
+    acce = jnp.tile(jnp.array([0.0, 0.0, 9.81], jnp.float32), (8, 1))
+    stamps = jnp.linspace(0.0, 0.07, 8)
+    valid = jnp.ones((8,), bool)
+    out = eng.update_measure(src, gyro, acce, stamps, valid)
+    assert np.isfinite(np.asarray(out.t)).all()
+    print(f"proc {pid}: sharded-Loc step OK t={np.asarray(out.t)}")
 """)
 
 
