@@ -105,6 +105,14 @@ def bench_lio(matcher: str, frames: int, capacity: int,
     # round trip per scan, so this is the honest hardware number (on local
     # hardware the two converge).
     jax.block_until_ready(engine.state.t)
+    # TWO passes, time the second: the first back-to-back pass pays a
+    # per-call dispatch warmup on the tunneled relay (~58 ms/step measured)
+    # that the steady stream does not; the second pass is the sustained
+    # device rate.
+    st = state_w
+    for inp in dev_inputs[warmup:]:
+        st, out = lio_mod.step_measure(st, inp[0], *inp[1:], opts)
+    jax.block_until_ready(out.t)
     t0 = time.perf_counter()
     st = state_w
     for inp in dev_inputs[warmup:]:

@@ -74,9 +74,25 @@ class LioOptions:
     # NDT, lio.cpp:299).
     vox_inc_reanchor: int = 5
 
+    # Static row budget of the assembled local map as a fraction of the
+    # window's raw capacity (num_kfs * scan_capacity). After the 0.5 m
+    # voxel downsample the live points are ~40% of the padded rows, yet
+    # every keyframe-rebuild stage (voxel stats, neighbor merge, eigh,
+    # hash grid, dense scatter) costs by PADDED shape — compacting the
+    # downsampled window to this budget cuts the measured 54 ms rebuild
+    # roughly in proportion. Overflow is counted in LioState.map_overflow
+    # (observable, never silent). 1.0 disables compaction.
+    local_map_budget_factor: float = 0.625
+
     @property
     def local_map_capacity(self) -> int:
         return self.num_kfs_in_local_map * self.scan_capacity
+
+    @property
+    def local_map_budget(self) -> int:
+        cap = self.local_map_capacity
+        b = int(cap * self.local_map_budget_factor)
+        return min(cap, max(1024, -(-b // 1024) * 1024))
 
     @property
     def inc_ndt(self) -> ndt.NdtOptions:
@@ -127,6 +143,8 @@ class LioState(NamedTuple):
     R_il: jax.Array
     t_il: jax.Array
     frame_idx: jax.Array         # () int32
+    # points dropped at the last local-map compaction (observable)
+    map_overflow: jax.Array      # () int32
 
 
 class StepResult(NamedTuple):
@@ -164,6 +182,7 @@ def init_state(opts: LioOptions, R_il=None, t_il=None) -> LioState:
         R_il=eye if R_il is None else jnp.asarray(R_il, jnp.float32),
         t_il=z3 if t_il is None else jnp.asarray(t_il, jnp.float32),
         frame_idx=jnp.int32(0),
+        map_overflow=jnp.int32(0),
     )
     # Pre-size the matcher target with an empty cloud so the pytree structure
     # is fixed from step 0.
@@ -195,7 +214,9 @@ def _derive_vox_target(opts: LioOptions, m: ndt.NdtMap) -> icp.IcpTarget:
 
 
 def _empty_map_cloud(opts: LioOptions) -> PointCloud:
-    m = opts.local_map_capacity
+    # budget-sized: must match the shapes _assemble_local_map produces so
+    # the keyframe lax.cond branches carry identical target pytrees
+    m = opts.local_map_budget
     return PointCloud(xyz=jnp.full((m, 3), PAD_COORD, jnp.float32),
                       mask=jnp.zeros((m,), bool))
 
@@ -213,9 +234,12 @@ def _is_keyframe(opts: LioOptions, state: LioState, R, t) -> jax.Array:
         ang > jnp.deg2rad(opts.kf_angle_deg))
 
 
-def _assemble_local_map(opts: LioOptions, kf_xyz, kf_mask, kf_R, kf_t) -> PointCloud:
+def _assemble_local_map(opts: LioOptions, kf_xyz, kf_mask, kf_R, kf_t):
     """Transform the keyframe window to world, concat, voxel-filter
-    (lio.cpp:282-297) as one fused program."""
+    (lio.cpp:282-297) as one fused program, then compact the survivors to
+    the static local_map_budget rows so every downstream rebuild stage
+    runs at the LIVE point scale, not the padded window scale.
+    Returns (cloud, origin, overflow)."""
     k, n, _ = kf_xyz.shape
     world = jnp.einsum("kij,knj->kni", kf_R, kf_xyz) + kf_t[:, None, :]
     world = jnp.where(kf_mask[..., None], world, PAD_COORD)
@@ -224,7 +248,16 @@ def _assemble_local_map(opts: LioOptions, kf_xyz, kf_mask, kf_R, kf_t) -> PointC
     # never walk out of the +-512-cell key range.
     origin = jnp.sum(kf_t, axis=0) / jnp.maximum(
         jnp.sum((jnp.sum(kf_mask, axis=1) > 0).astype(jnp.float32)), 1.0)
-    return voxel_ops.voxel_downsample(merged, opts.map_filter_leaf, origin=origin), origin
+    ds = voxel_ops.voxel_downsample(merged, opts.map_filter_leaf, origin=origin)
+    budget = opts.local_map_budget
+    if budget >= ds.capacity:
+        return ds, origin, jnp.int32(0)
+    order = jnp.argsort(~ds.mask, stable=True)[:budget]
+    mask = ds.mask[order]
+    xyz = jnp.where(mask[:, None], ds.xyz[order], PAD_COORD)
+    overflow = jnp.maximum(
+        jnp.sum(ds.mask.astype(jnp.int32)) - budget, 0)
+    return PointCloud(xyz=xyz, mask=mask), origin, overflow
 
 
 def _push_keyframe(opts, state: LioState, scan_xyz, scan_mask, R, t,
@@ -243,8 +276,10 @@ def _push_keyframe(opts, state: LioState, scan_xyz, scan_mask, R, t,
         last_kf_R=R, last_kf_t=t, num_kfs=state.num_kfs + 1,
     )
     if opts.matcher == "icp":
-        local_map, origin = _assemble_local_map(opts, kf_xyz, kf_mask, kf_R, kf_t)
-        new = new._replace(icp_target=icp.set_target(local_map, opts.icp, origin))
+        local_map, origin, ovf = _assemble_local_map(opts, kf_xyz, kf_mask,
+                                                     kf_R, kf_t)
+        new = new._replace(icp_target=icp.set_target(local_map, opts.icp, origin),
+                           map_overflow=ovf)
     elif opts.matcher == "icp_vox_inc":
         # absorb only the NEW keyframe into the moment table, then re-derive
         # the plane table in O(voxels) — no local-map re-sort. Every
@@ -273,7 +308,7 @@ def _push_keyframe(opts, state: LioState, scan_xyz, scan_mask, R, t,
                 # structures still match): anchoring at the ORIGINAL origin
                 # silently INVALID_KEY-drops points once the trajectory
                 # leaves the initial window (ADVICE r2).
-                local_map, origin = _assemble_local_map(
+                local_map, origin, _ = _assemble_local_map(
                     opts, kf_xyz, kf_mask, kf_R, kf_t)
                 m0 = ndt.empty_incremental(opts.inc_ndt, origin=origin)
                 return ndt.update_incremental(m0, local_map, opts.inc_ndt)
@@ -285,8 +320,10 @@ def _push_keyframe(opts, state: LioState, scan_xyz, scan_mask, R, t,
         new = new._replace(ndt_map=m2,
                            icp_target=_derive_vox_target(opts, m2))
     elif opts.matcher == "ndt":
-        local_map, origin = _assemble_local_map(opts, kf_xyz, kf_mask, kf_R, kf_t)
-        new = new._replace(ndt_map=ndt.build_direct(local_map, opts.ndt, origin))
+        local_map, origin, ovf = _assemble_local_map(opts, kf_xyz, kf_mask,
+                                                     kf_R, kf_t)
+        new = new._replace(ndt_map=ndt.build_direct(local_map, opts.ndt, origin),
+                           map_overflow=ovf)
     elif opts.matcher == "ndt_inc":
         # incremental NDT absorbs only the new keyframe (lio.cpp:291-296)
         inc = dataclasses.replace(opts.ndt, method="incremental")
@@ -298,10 +335,13 @@ def _push_keyframe(opts, state: LioState, scan_xyz, scan_mask, R, t,
         kf_edge_xyz = upd(state.kf_edge_xyz, edge_xyz)
         kf_edge_mask = upd(state.kf_edge_mask, edge_mask)
         new = new._replace(kf_edge_xyz=kf_edge_xyz, kf_edge_mask=kf_edge_mask)
-        surf_map, origin = _assemble_local_map(opts, kf_xyz, kf_mask, kf_R, kf_t)
-        edge_map, _ = _assemble_local_map(opts, kf_edge_xyz, kf_edge_mask, kf_R, kf_t)
+        surf_map, origin, ovf_s = _assemble_local_map(opts, kf_xyz, kf_mask,
+                                                       kf_R, kf_t)
+        edge_map, _, ovf_e = _assemble_local_map(opts, kf_edge_xyz,
+                                                 kf_edge_mask, kf_R, kf_t)
         new = new._replace(loam_target=loam.set_target(
-            edge_map, surf_map, opts.loam, origin))
+            edge_map, surf_map, opts.loam, origin),
+            map_overflow=ovf_s + ovf_e)
     return new
 
 
