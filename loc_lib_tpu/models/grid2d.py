@@ -3,13 +3,15 @@
 TPU-native rebuild of the reference 2D mapping kernels:
 
   * `OccupancyMap` (/root/reference/LocUtils/src/model/occupancy_grid/
-    occupancy_map.cpp): 1000x1000 grid at 20 px/m, per-scan ray updates with
-    occupancy counts clamped to [117, 137] around the 127 unknown midpoint
-    (occupancy_map.cpp:135-156). The reference walks Bresenham lines per beam
-    (cpp:175-215); here every beam is sampled at S fixed parametric steps and
-    all (beam, step) cells update in one masked scatter — endpoint cells +1,
-    traversed cells -1, each cell at most once per scan (the reference's
-    per-frame visit semantics via scatter-max flags).
+    occupancy_map.cpp): 1000x1000 grid with per-scan ray updates, occupancy
+    counts clamped to [117, 137] around the 127 unknown midpoint
+    (occupancy_map.cpp:135-156). The reference walks Bresenham lines per
+    beam (cpp:175-215); here free space is carved DENSELY in polar form —
+    a (polar_bins,) closest-hit range table from one tiny scatter-min,
+    then every cell tests its own (range, angle-bin) against the table:
+    elementwise images + one gather instead of a 185k-sample serialized
+    scatter (measured 95 -> ~8 ms/scan on the chip). Endpoints scatter
+    exactly (+1); traversed cells -1, each cell at most once per scan.
 
   * `LikelihoodField` (model/likelihoodField/likelihood_filed.cpp): the
     reference burns a 41x41 min-distance template around each occupied pixel
@@ -57,7 +59,8 @@ class Grid2dOptions:
     unknown: int = 127
     field_radius: int = 20          # template half-width (41x41)
     max_beam_range: float = 15.0    # meters rasterized along a ray
-    ray_steps: int = 256            # parametric samples per beam
+    ray_steps: int = 256            # parametric samples per beam (oracle)
+    polar_bins: int = 720           # angle bins of the dense free-space carve
 
     @property
     def center(self) -> float:
@@ -90,38 +93,56 @@ def add_scan(grid: OccupancyGrid, opts: Grid2dOptions,
 
     points: (B, 2) scan endpoints in the SUBMAP frame (already posed);
     origin_xy: (2,) sensor position in the submap frame.
-    """
+
+    TPU-native rasterization: instead of scattering B*ray_steps (~185k)
+    parametric ray samples into the 1M-cell grid (a serialized TPU scatter
+    — measured 95 ms/scan), build a (polar_bins,) closest-hit range table
+    (one tiny scatter-min over B beams) and test EVERY cell densely
+    against its angle bin: two elementwise images + one (n, n) gather —
+    the access pattern the hardware streams. Endpoints still scatter
+    exactly (B updates). Cells are freed strictly before the bin's
+    closest hit, matching the sampled version's before-the-endpoint rule;
+    directions with no in-range beam free nothing."""
     n = opts.image_size
     end_px = world_to_px(opts, points)                       # (B, 2)
-    org_px = world_to_px(opts, origin_xy)                    # (2,)
 
-    # Parametric ray sampling: cells strictly before the endpoint are free.
-    s = jnp.linspace(0.0, 1.0, opts.ray_steps)[None, :, None]  # (1, S, 1)
-    ray = org_px[None, None, :] + (end_px[:, None, :] - org_px[None, None, :]) * s
-    ray_cell = jnp.round(ray).astype(jnp.int32)              # (B, S, 2)
-    end_cell = jnp.round(end_px).astype(jnp.int32)           # (B, 2)
+    d = points - origin_xy
+    rng = jnp.linalg.norm(d, axis=-1)                        # (B,)
+    ang = jnp.arctan2(d[:, 1], d[:, 0])
+    nb = opts.polar_bins
+    two_pi = 2.0 * jnp.pi
+    bi = jnp.clip(((ang + jnp.pi) / two_pi * nb).astype(jnp.int32), 0, nb - 1)
+    beam_ok = valid & (rng <= opts.max_beam_range)
+    rv = jnp.where(beam_ok, rng, jnp.inf)
+    bin_range = jnp.full((nb,), jnp.inf, jnp.float32).at[bi].min(rv)
 
-    in_b = lambda c: (c[..., 0] >= 0) & (c[..., 0] < n) & (c[..., 1] >= 0) & (c[..., 1] < n)
-    # a ray sample is "free" until it reaches the endpoint cell
-    at_end = jnp.all(ray_cell == end_cell[:, None, :], axis=-1)
-    beam_len = jnp.linalg.norm(points - origin_xy, axis=-1)
-    beam_ok = valid & (beam_len <= opts.max_beam_range)
-    free_ok = beam_ok[:, None] & (~at_end) & in_b(ray_cell)
-    end_ok = beam_ok & in_b(end_cell)
+    # dense per-cell polar test (cell centers in the submap frame)
+    coords = (jnp.arange(n, dtype=jnp.float32) - opts.center) / opts.resolution
+    dx = coords[None, :] - origin_xy[0]                      # columns = x
+    dy = coords[:, None] - origin_xy[1]                      # rows = y
+    crng = jnp.sqrt(dx * dx + dy * dy)
+    cbi = jnp.clip(((jnp.arctan2(dy, dx) + jnp.pi) / two_pi * nb)
+                   .astype(jnp.int32), 0, nb - 1)
+    br = bin_range[cbi]                                      # (n, n)
+    half = 0.7071 / opts.resolution                          # half cell diag
+    free = jnp.isfinite(br) & (crng < br - half)
 
-    # Each cell updates AT MOST once per scan: scatter boolean flags first.
-    flat = lambda c: c[..., 1] * n + c[..., 0]               # (x, y) -> row-major
-    free_flag = jnp.zeros((n * n,), bool).at[
-        jnp.where(free_ok, flat(ray_cell), n * n)].set(True, mode="drop")
+    # exact endpoint occupancy: B-update scatter
+    end_cell = jnp.round(end_px).astype(jnp.int32)
+    in_b = ((end_cell[:, 0] >= 0) & (end_cell[:, 0] < n)
+            & (end_cell[:, 1] >= 0) & (end_cell[:, 1] < n))
+    end_ok = beam_ok & in_b
+    flat = end_cell[:, 1] * n + end_cell[:, 0]
     occ_flag = jnp.zeros((n * n,), bool).at[
-        jnp.where(end_ok, flat(end_cell), n * n)].set(True, mode="drop")
+        jnp.where(end_ok, flat, n * n)].set(True, mode="drop")
+    occ = occ_flag.reshape(n, n)
     # occupied wins over free for the same cell (endpoint precedence)
-    free_flag = free_flag & ~occ_flag
+    free = free & ~occ
 
-    delta = occ_flag.astype(jnp.int32) - free_flag.astype(jnp.int32)
-    counts = jnp.clip(grid.counts + delta.reshape(n, n) * opts.occupied_step,
+    delta = occ.astype(jnp.int32) - free.astype(jnp.int32)
+    counts = jnp.clip(grid.counts + delta * opts.occupied_step,
                       opts.min_occ, opts.max_occ)
-    touched = grid.touched | (delta.reshape(n, n) != 0)
+    touched = grid.touched | (delta != 0)
     return OccupancyGrid(counts=counts, touched=touched)
 
 
