@@ -146,6 +146,35 @@ def add_scan(grid: OccupancyGrid, opts: Grid2dOptions,
     return OccupancyGrid(counts=counts, touched=touched)
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def add_scan_and_field(grid: OccupancyGrid, opts: Grid2dOptions,
+                       points: jax.Array, valid: jax.Array,
+                       origin_xy: jax.Array):
+    """Occupancy update + field regen as ONE device program: the 2D submap
+    lifecycle alternates several small jitted calls per frame, and on a
+    relay-attached device each DISTINCT executable call carries a fixed
+    overhead (PROFILE.md §7) — fusing the per-keyframe pair halves that."""
+    g = add_scan(grid, opts, points, valid, origin_xy)
+    return g, likelihood_field(g, opts)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def add_scans_and_field(grid: OccupancyGrid, opts: Grid2dOptions,
+                        points: jax.Array, valid: jax.Array,
+                        origins: jax.Array, count: jax.Array):
+    """Rasterize a STACK of scans ((K, B, 2) points, (K, B) valid, (K, 2)
+    origins; only the first `count` rows are applied) then regenerate the
+    field once — the submap seeding path (seed_from) as one program."""
+
+    def body(k, g):
+        g2 = add_scan(g, opts, points[k], valid[k], origins[k])
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(k < count, a, b), g2, g)
+
+    g = jax.lax.fori_loop(0, points.shape[0], body, grid)
+    return g, likelihood_field(g, opts)
+
+
 def out_of_bounds_fraction(opts: Grid2dOptions, points: jax.Array,
                            valid: jax.Array) -> jax.Array:
     """Fraction of valid endpoints falling outside the grid — the submap

@@ -27,6 +27,7 @@ the host driver, mirroring the reference's object layer.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -132,14 +133,14 @@ class Submap:
         self.recent.append((scan_xy, valid, th_w, np.asarray(t_w, np.float32)))
         if len(self.recent) > self.opts.seed_frames:
             self.recent.pop(0)
-        self._rasterize(scan_xy, valid, theta_sb, t_sb)
-        self.field = grid2d.likelihood_field(self.grid, self.opts.grid)
-        # Explicit sync: on the tunneled-TPU testbed a QUEUE of async
-        # dispatches drained by one later pull degrades ~40x (measured
-        # 3.3 s/frame pipelined vs 80 ms/frame with per-group syncs —
-        # the inverse of normal JAX async behavior; PROFILE.md §3). The 2D
-        # pipeline is host-interactive anyway, so syncing after the
-        # occupancy+field group costs nothing real.
+        # ONE fused device program (occupancy + field) + an explicit sync:
+        # on the tunneled-TPU testbed both per-call executable overhead and
+        # queued-dispatch draining are expensive (PROFILE.md §3/§7); the 2D
+        # pipeline is host-interactive anyway.
+        pts = _np_se2_apply(theta_sb, t_sb, scan_xy)
+        self.grid, self.field = grid2d.add_scan_and_field(
+            self.grid, self.opts.grid, jnp.asarray(pts), jnp.asarray(valid),
+            jnp.asarray(t_sb, jnp.float32))
         jax.block_until_ready(self.field)
         self.num_frames += 1
 
@@ -152,13 +153,27 @@ class Submap:
     def seed_from(self, other: "Submap") -> None:
         """SetOccuFromOtherSubmap (submap.cpp:14-23): rasterize the previous
         submap's recent keyframes (at their WORLD poses re-expressed in this
-        submap's frame) so the new submap isn't an empty matching target; one
-        field regen at the end, not per frame."""
-        for scan_xy, valid, th_w, t_w in other.recent[-self.opts.seed_frames:]:
+        submap's frame) so the new submap isn't an empty matching target.
+        All seed scans + the single field regen run as ONE device program
+        (grid2d.add_scans_and_field; the stack is padded to seed_frames so
+        every expansion hits the same executable)."""
+        recent = other.recent[-self.opts.seed_frames:]
+        if not recent:
+            return
+        kmax = self.opts.seed_frames
+        b = recent[0][0].shape[0]
+        pts = np.zeros((kmax, b, 2), np.float32)
+        val = np.zeros((kmax, b), bool)
+        orgs = np.zeros((kmax, 2), np.float32)
+        for k, (scan_xy, valid, th_w, t_w) in enumerate(recent):
             th_sb, t_sb = self.world_to_submap(th_w, t_w)
-            self._rasterize(scan_xy, valid, th_sb, t_sb)
-        self.field = grid2d.likelihood_field(self.grid, self.opts.grid)
-        jax.block_until_ready(self.field)  # see add_scan
+            pts[k] = _np_se2_apply(th_sb, t_sb, scan_xy)
+            val[k] = valid
+            orgs[k] = t_sb
+        self.grid, self.field = grid2d.add_scans_and_field(
+            self.grid, self.opts.grid, jnp.asarray(pts), jnp.asarray(val),
+            jnp.asarray(orgs), jnp.int32(len(recent)))
+        jax.block_until_ready(self.field)
 
     def match_scan(self, scan_xy, valid, theta0_sb, t0_sb) -> grid2d.Align2dResult:
         return grid2d.align_gauss_newton(
@@ -168,19 +183,34 @@ class Submap:
     def match_multires(self, scan_xy, valid, theta0_sb, t0_sb):
         """Coarse-to-fine alignment through a pooled field pyramid
         (MRLikelihoodField::AlignG2O, multi_resolution_likelihood_field.cpp:
-        53-178). Returns (result, accepted)."""
-        th, t = jnp.float32(theta0_sb), jnp.asarray(t0_sb, jnp.float32)
-        res = None
-        for f in self.opts.pyramid_factors:
-            field, gopts = _pooled_field(self.field, self.opts.grid, f)
-            res = grid2d.align_gauss_newton(
-                field, gopts, jnp.asarray(scan_xy), jnp.asarray(valid),
-                th, t, self.opts.align)
-            th, t = res.theta, res.t
+        53-178) — all levels fused into ONE device program
+        (_match_multires_jit). Returns (result, accepted)."""
+        res = _match_multires_jit(
+            self.field, self.opts.grid, self.opts.align,
+            self.opts.pyramid_factors, jnp.asarray(scan_xy),
+            jnp.asarray(valid), jnp.float32(theta0_sb),
+            jnp.asarray(t0_sb, jnp.float32))
         ratio, n_eff = jax.device_get((res.inlier_ratio, res.num_effective))
         ok = (float(ratio) >= self.opts.loop_min_inlier_ratio
               and int(n_eff) >= self.opts.align.min_effective)
         return res, ok
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gopts", "aopts", "factors"))
+def _match_multires_jit(field, gopts, aopts, factors, scan_xy, valid,
+                        th0, t0):
+    """All pyramid levels (pool + align per static factor) as one XLA
+    program — the loop candidates' 8-call sequence collapsed to 1 (per-call
+    executable overhead on the relay, PROFILE.md §7)."""
+    th, t = th0, t0
+    res = None
+    for f in factors:
+        pooled, go = _pooled_field(field, gopts, f)
+        res = grid2d.align_gauss_newton(pooled, go, scan_xy, valid,
+                                        th, t, aopts)
+        th, t = res.theta, res.t
+    return res
 
 
 def _pooled_field(field: jax.Array, gopts: grid2d.Grid2dOptions, factor: int):

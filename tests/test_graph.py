@@ -242,3 +242,32 @@ def test_closed_form_edge_jacobians_match_autodiff():
                                    atol=5e-4, rtol=2e-3)
         np.testing.assert_allclose(np.asarray(Jj_cf), np.asarray(Jj_ad),
                                    atol=5e-4, rtol=2e-3)
+
+
+def test_pad_graph_parity():
+    """Shape-bucket padding must not change the solution for real nodes
+    (padded nodes are identity with no incident edges)."""
+    R_gt, t_gt, R_est, t_est = _noisy_chain(m=13, seed=7)
+    odo = pg.odometry_edges(jnp.asarray(R_est), jnp.asarray(t_est))
+    Rl = R_gt[0].T @ R_gt[-1]
+    tl = R_gt[0].T @ (t_gt[-1] - t_gt[0])
+    loop = pg.Se3Edges(
+        i=jnp.array([0], jnp.int32), j=jnp.array([12], jnp.int32),
+        R=jnp.asarray(Rl[None]), t=jnp.asarray(tl[None]),
+        info=jnp.eye(6, dtype=jnp.float32)[None] * 1e4,
+        is_loop=jnp.array([True]), valid=jnp.array([True]))
+    edges = pg.concat_edges(odo, loop)
+    R0, t0 = jnp.asarray(R_est), jnp.asarray(t_est)
+
+    Ru, tu, inl_u = pg.optimize_two_phase(R0, t0, edges)
+    Rp_, tp_, edges_p, m = pg.pad_graph(R0, t0, edges, bucket=16)
+    assert Rp_.shape[0] == 16 and edges_p.i.shape[0] == 16
+    Rp, tp, inl_p = pg.optimize_two_phase(Rp_, tp_, edges_p)
+    np.testing.assert_allclose(np.asarray(tp)[:m], np.asarray(tu), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Rp)[:m], np.asarray(Ru), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(inl_p)[: edges.i.shape[0]],
+                                  np.asarray(inl_u))
+    # padded nodes stay at identity
+    np.testing.assert_allclose(np.asarray(Rp)[m:],
+                               np.tile(np.eye(3, dtype=np.float32),
+                                       (16 - m, 1, 1)), atol=1e-5)
