@@ -70,12 +70,12 @@ class Mapping2dOptions:
     # (the reference re-attempts every keyframe, loop_closing.cpp:120-158;
     # each multires attempt costs a full 4-level pyramid alignment).
     loop_retry_move_m: float = 1.0
-    # solver="dense": a submap graph is tens of nodes, and the block-sparse
-    # PCG's 25 GN x 250 CG tiny sequential iterations are pure latency on
-    # an accelerator (measured 8 s per optimize call on the tunneled chip
-    # vs milliseconds for the one dense (3M,3M) solve at this scale; the
-    # two are pinned equal by tests/test_mapping2d.py). PCG remains the
-    # right solver for the 3D keyframe graphs it was built for.
+    # solver="dense": a submap graph is tens of nodes; the one (3M, 3M)
+    # dense solve is exact and latency-flat there, while block-sparse PCG
+    # spends 25 GN x up-to-250 CG tiny sequential iterations that are pure
+    # launch latency on an accelerator at this scale (the two are pinned
+    # equal by tests/test_mapping2d.py). PCG remains the right solver for
+    # the large 3D keyframe graphs it was built for.
     pgo: PgoOptions = PgoOptions(solver="dense")
     # multi-res pyramid: coarse-to-fine pooling factors over the base field
     pyramid_factors: tuple = (8, 4, 2, 1)
