@@ -59,3 +59,34 @@ def load_tum(path: str):
     q_wxyz = np.concatenate([rows[:, 7:8], rows[:, 4:7]], axis=1)
     poses[:, :3, :3] = np.asarray(lie.rotm_from_quat(jnp.asarray(q_wxyz)))
     return stamps, poses
+
+
+def interp_pose(stamps: np.ndarray, poses: np.ndarray, query_time: float,
+                time_th: float = 0.5):
+    """SE(3) pose interpolation over a timestamped pose buffer — the
+    `math::PoseInterp` analog (math_utils.h:470-517): rotation slerped,
+    translation lerped between the straddling poses. Queries past the last
+    stamp within `time_th` return the last pose (the reference's
+    still-acceptable extrapolation window); outside the buffer returns
+    None. `poses` is (T, 4, 4); stamps ascending."""
+    stamps = np.asarray(stamps, np.float64)
+    poses = np.asarray(poses)
+    if len(stamps) == 0:
+        return None
+    if query_time > stamps[-1]:
+        return poses[-1].copy() if query_time < stamps[-1] + time_th else None
+    if query_time < stamps[0]:
+        return None
+    i = int(np.searchsorted(stamps, query_time, side="right") - 1)
+    i = min(max(i, 0), len(stamps) - 2) if len(stamps) > 1 else 0
+    dt = stamps[i + 1] - stamps[i] if len(stamps) > 1 else 0.0
+    if abs(dt) < 1e-6:
+        return poses[i].copy()
+    s = float((query_time - stamps[i]) / dt)
+    qa = lie.quat_from_rotm(jnp.asarray(poses[i, :3, :3], jnp.float32))
+    qb = lie.quat_from_rotm(jnp.asarray(poses[i + 1, :3, :3], jnp.float32))
+    R = np.asarray(lie.rotm_from_quat(lie.quat_slerp(qa, qb, s)))
+    T = np.eye(4, dtype=poses.dtype)
+    T[:3, :3] = R
+    T[:3, 3] = poses[i, :3, 3] * (1.0 - s) + poses[i + 1, :3, 3] * s
+    return T

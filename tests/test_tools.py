@@ -141,3 +141,31 @@ def test_checkpointer_orbax_roundtrip(tmp_path):
                                atol=1e-7)
     assert ck._mgr.all_steps() == [2, 3]  # oldest garbage-collected
     ck.close()
+
+
+def test_interp_pose():
+    """math::PoseInterp analog (math_utils.h:470-517): slerp+lerp between
+    straddling poses, last-pose extrapolation within time_th, None outside."""
+    from loc_lib_tpu.io import trajectory
+    from loc_lib_tpu.utils import lie
+    import jax.numpy as jnp
+
+    stamps = np.array([0.0, 1.0, 2.0])
+    poses = np.tile(np.eye(4), (3, 1, 1))
+    poses[1, :3, :3] = np.asarray(lie.so3_exp(jnp.array([0, 0, 0.4], jnp.float32)))
+    poses[1, :3, 3] = [1.0, 0.0, 0.0]
+    poses[2, :3, :3] = np.asarray(lie.so3_exp(jnp.array([0, 0, 0.8], jnp.float32)))
+    poses[2, :3, 3] = [2.0, 0.0, 0.0]
+
+    T = trajectory.interp_pose(stamps, poses, 0.5)
+    np.testing.assert_allclose(T[:3, 3], [0.5, 0, 0], atol=1e-6)
+    expected_R = np.asarray(lie.so3_exp(jnp.array([0, 0, 0.2], jnp.float32)))
+    np.testing.assert_allclose(T[:3, :3], expected_R, atol=1e-4)
+    # exact stamp
+    np.testing.assert_allclose(trajectory.interp_pose(stamps, poses, 1.0)[:3, 3],
+                               [1, 0, 0], atol=1e-6)
+    # within the extrapolation window -> last pose; outside -> None
+    np.testing.assert_allclose(
+        trajectory.interp_pose(stamps, poses, 2.3)[:3, 3], [2, 0, 0])
+    assert trajectory.interp_pose(stamps, poses, 3.0) is None
+    assert trajectory.interp_pose(stamps, poses, -0.5) is None
