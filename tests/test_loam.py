@@ -107,3 +107,34 @@ def test_loam_default_config_is_fused_and_tracks():
     err = np.linalg.norm(np.asarray(res.t) - rel)
     assert np.isfinite(np.asarray(res.t)).all()
     assert err < 0.1, (np.asarray(res.t), rel, int(res.num_effective))
+
+
+def test_annotate_rings_structure():
+    """annotate_rings: elevation-binned ring ids, rows ordered (ring,
+    azimuth) with valid rows first — the layout the curvature stencil
+    assumes."""
+    from loc_lib_tpu.io import synthetic
+
+    world = synthetic.make_world(num_points=60000, extent=40.0, seed=1)
+    pc = synthetic.render_scan(world, np.eye(3, dtype=np.float32),
+                               np.array([0.0, 0.0, 1.5], np.float32),
+                               max_points=4096, seed=0, capacity=4096)
+    ringed = synthetic.annotate_rings(pc, num_rings=16)
+    ring = np.asarray(ringed.ring)
+    mask = np.asarray(ringed.mask)
+    xyz = np.asarray(ringed.xyz)
+    # valid rows form a prefix; within it rings are non-decreasing
+    nv = int(mask.sum())
+    assert mask[:nv].all() and not mask[nv:].any()
+    r = ring[:nv]
+    assert (np.diff(r) >= 0).all()
+    assert r.min() >= 0 and r.max() <= 15
+    # azimuth non-decreasing within each ring
+    az = np.arctan2(xyz[:nv, 1], xyz[:nv, 0])
+    for k in np.unique(r):
+        a = az[r == k]
+        assert (np.diff(a) >= -1e-6).all(), f"ring {k} not azimuth-sorted"
+    # same point SET as the input
+    src = np.asarray(pc.xyz)[np.asarray(pc.mask)]
+    np.testing.assert_allclose(np.sort(xyz[:nv], axis=0),
+                               np.sort(src, axis=0), atol=0)
