@@ -122,3 +122,24 @@ def test_mapping2d_loop_closure_improves_accuracy():
     assert sum(1 for l in m.loops if l.valid) > 0
     assert rmse["loops"] < 0.1, rmse
     assert rmse["loops"] <= rmse["noloop"] * 1.2, rmse
+
+
+def test_pad_graph2d_parity():
+    """SE(2) shape-bucket padding must not change the solution for real
+    nodes (the twin of the SE(3) test in test_graph.py)."""
+    from loc_lib_tpu.graph import pose_graph2d as pg2d
+    rng = np.random.default_rng(4)
+    m = 6
+    th_gt = np.linspace(0, np.pi, m).astype(np.float32)
+    t_gt = np.stack([np.cos(th_gt) * 4, np.sin(th_gt) * 4], 1).astype(np.float32)
+    th = (th_gt + rng.normal(0, 0.03, m)).astype(np.float32)
+    t = (t_gt + rng.normal(0, 0.1, (m, 2))).astype(np.float32)
+    edges = pg2d.odometry_edges(jnp.asarray(th_gt), jnp.asarray(t_gt))
+    thu, tu, inl_u = pg2d.optimize_two_phase(jnp.asarray(th), jnp.asarray(t),
+                                             edges)
+    thp_, tp_, edges_p, mm = pg2d.pad_graph(jnp.asarray(th), jnp.asarray(t),
+                                            edges, bucket=8)
+    assert thp_.shape[0] == 8 and edges_p.i.shape[0] == 8
+    thp, tp, inl_p = pg2d.optimize_two_phase(thp_, tp_, edges_p)
+    np.testing.assert_allclose(np.asarray(tp)[:mm], np.asarray(tu), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(thp)[:mm], np.asarray(thu), atol=1e-4)
