@@ -305,11 +305,12 @@ def solve_pcg(Hdiag, Hij, e_i, e_j, b, m: int, max_iterations: int,
 def optimize(nodes_R, nodes_t, edges: Se3Edges, opts: PgoOptions = PgoOptions(),
              num_nodes: Optional[int] = None, num_iterations=None):
     """Robust GN over the whole graph. Returns (R, t, final per-edge chi2,
-    chi2 history (max_iterations,) — entries past the executed count repeat
-    the last value).
+    chi2 history (opts.iteration_bound,) — entries past the executed count
+    repeat the last value).
 
-    `num_iterations` is a RUNTIME iteration count (<= opts.max_iterations;
-    default opts.max_iterations): both phases of `optimize_two_phase` pass
+    `num_iterations` is a RUNTIME iteration count, clamped to
+    opts.iteration_bound = max(max_iterations, second_phase_iterations)
+    (default opts.max_iterations): both phases of `optimize_two_phase` pass
     it as a traced scalar so they share ONE compiled program — the
     linearize+PCG body is by far the most expensive XLA compile in the 3D
     SLAM path (BENCH_SUITE slam3d_loop pgo_first_call_s), and compiling it

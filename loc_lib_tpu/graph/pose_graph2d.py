@@ -99,7 +99,8 @@ def edge_residual_norms(theta, t, edges: Se2Edges):
 @functools.partial(jax.jit, static_argnames=("opts", "num_nodes"))
 def optimize(theta, t, edges: Se2Edges, opts: PgoOptions = PgoOptions(),
              num_nodes: Optional[int] = None, num_iterations=None):
-    """`num_iterations`: RUNTIME iteration count (<= opts.max_iterations);
+    """`num_iterations`: RUNTIME iteration count, clamped to
+    opts.iteration_bound = max(max_iterations, second_phase_iterations);
     two-phase passes it as a traced scalar so both phases share one
     compiled program (see pose_graph.optimize)."""
     m = num_nodes or theta.shape[0]

@@ -59,6 +59,8 @@ class LocShardedState(NamedTuple):
     eskf: eskf_mod.EskfState
     R_il: jax.Array
     t_il: jax.Array
+    # informational (mirrors loc.py's state layout; the enforced precondition
+    # is the host-side `target is not None` assert in update_measure)
     initialized: jax.Array
 
 
@@ -186,6 +188,10 @@ class LocSharded:
 
     def update_measure(self, scan: PointCloud, imu_gyro, imu_acce, imu_stamp,
                        imu_valid) -> StepResult:
+        # SetInitPose precondition (loc.cpp:208-212): without it the sharded
+        # target is None and the failure would surface as an obscure pytree
+        # error deep inside jit tracing (ADVICE r3).
+        assert self.target is not None, "call set_init_pose first"
         self.state, out = step_measure(
             self.mesh, self.target, self.state, scan,
             jnp.asarray(imu_gyro), jnp.asarray(imu_acce),

@@ -32,6 +32,46 @@ def test_occupancy_and_field():
     assert field[c, c] == GOPTS.field_radius      # far from any wall
 
 
+def test_polar_carve_vs_sampled_oracle():
+    """The production dense polar carve (add_scan) pinned against the
+    reinstated per-beam sampled-ray ORACLE (add_scan_sampled, the direct
+    analog of the reference's Bresenham walk, occupancy_map.cpp:175-215):
+
+      * endpoint occupancy — the only input to the likelihood field, hence
+        to all matching — must be IDENTICAL;
+      * therefore the likelihood fields must be bit-identical;
+      * neither rasterizer may free an occupied cell;
+      * the freed regions must agree up to quantization at the wedge
+        edges: the carve fills the wedge between sampled rays but trims a
+        half-cell-diagonal margin at the endpoint arc, the sampler hits
+        only ray cells but walks them right up to the endpoint — measured
+        mutual coverage is ~95%/99%, asserted at >90% both ways.
+    """
+    world = synthetic.make_world_2d(seed=3)
+    xy, valid = synthetic.render_scan_2d(world, 0.3, np.array([0.5, -0.4]),
+                                         seed=5)
+    g0 = grid2d.empty_grid(GOPTS)
+    g_polar = grid2d.add_scan(g0, GOPTS, jnp.asarray(xy),
+                              jnp.asarray(valid), jnp.zeros(2))
+    g_samp = grid2d.add_scan_sampled(g0, GOPTS, jnp.asarray(xy),
+                                     jnp.asarray(valid), jnp.zeros(2))
+    cp, cs = np.asarray(g_polar.counts), np.asarray(g_samp.counts)
+    occ_p, occ_s = cp > GOPTS.unknown, cs > GOPTS.unknown
+    free_p, free_s = cp < GOPTS.unknown, cs < GOPTS.unknown
+    np.testing.assert_array_equal(occ_p, occ_s)
+    assert not np.any(occ_p & free_p) and not np.any(occ_s & free_s)
+    fp = np.asarray(grid2d.likelihood_field(g_polar, GOPTS))
+    fs = np.asarray(grid2d.likelihood_field(g_samp, GOPTS))
+    np.testing.assert_array_equal(fp, fs)
+    inter = np.sum(free_p & free_s)
+    assert inter / max(free_s.sum(), 1) > 0.9, (
+        f"sampled rays poorly covered by the carve: "
+        f"{inter}/{free_s.sum()} polar={free_p.sum()}")
+    assert inter / max(free_p.sum(), 1) > 0.9, (
+        f"carve frees cells the sampler disowns: "
+        f"{inter}/{free_p.sum()} sampled={free_s.sum()}")
+
+
 def test_align_2d_recovers_offset():
     """SE(2) GN on the field must recover a known offset."""
     world = synthetic.make_world_2d(seed=1)
