@@ -92,17 +92,21 @@ class LoopResult(NamedTuple):
     found: jax.Array      # () bool
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
-def detect_loop(query_desc: jax.Array, db_desc: jax.Array, db_keys: jax.Array,
-                db_ids: jax.Array, db_count: jax.Array,
-                opts: ScanContextOptions = ScanContextOptions()) -> LoopResult:
-    """DetectLoopClosureID done properly: db_desc (N, R, S) padded database,
-    db_keys (N, R), db_ids (N,) per-slot insertion ids (-1 = empty slot; the
-    DB is a ring buffer, so slot order is NOT insertion order at capacity),
-    db_count = total descriptors ever inserted. The most recent
-    `exclude_recent` insertions are excluded (standard ScanContext practice —
-    the reference's submap_gap_ analog, loop_closing.cpp:58). The returned
-    `index` is the matched INSERTION id."""
+@functools.partial(jax.jit, static_argnames=("opts", "topk"))
+def detect_loop_topk(query_desc: jax.Array, db_desc: jax.Array,
+                     db_keys: jax.Array, db_ids: jax.Array,
+                     db_count: jax.Array,
+                     opts: ScanContextOptions = ScanContextOptions(),
+                     topk: int = 1) -> LoopResult:
+    """`detect_loop` generalized to the `topk` best matches — every array
+    of the returned LoopResult has a leading (topk,) axis, best first.
+    Entries past the number of acceptable matches carry index=-1 /
+    found=False. All candidates' shifted distances are computed in the same
+    single contraction as the 1-best path, so topk > 1 costs one extra
+    top_k; the consumer is the BATCHED loop re-registration
+    (slam3d: K candidate keyframes re-registered in one scan_match_batch
+    program instead of the reference's one-probe-at-a-time loop,
+    icp_registration.cpp:161-213)."""
     eligible = (db_ids >= 0) & (db_ids < db_count - opts.exclude_recent)
 
     qk = ring_key(query_desc)
@@ -117,12 +121,35 @@ def detect_loop(query_desc: jax.Array, db_desc: jax.Array, db_keys: jax.Array,
 
     dist = _shifted_distance(query_desc, db_desc[top_idx])  # (k,)
     dist = jnp.where(cand_ok, dist, jnp.inf)
-    best = jnp.argmin(dist)
-    best_dist = dist[best]
-    found = best_dist < opts.dist_threshold
-    match_id = db_ids[top_idx[best]]
-    return LoopResult(index=jnp.where(found, match_id, -1).astype(jnp.int32),
-                      distance=best_dist, found=found)
+    kk = min(topk, k)
+    neg_best, order = jax.lax.top_k(-dist, kk)
+    best_dist = -neg_best                                   # (kk,) ascending
+    found = jnp.isfinite(best_dist) & (best_dist < opts.dist_threshold)
+    ids = jnp.where(found, db_ids[top_idx[order]], -1).astype(jnp.int32)
+    if kk < topk:  # DB smaller than the ask: pad with not-found lanes
+        pad = topk - kk
+        ids = jnp.concatenate([ids, jnp.full((pad,), -1, jnp.int32)])
+        best_dist = jnp.concatenate([best_dist,
+                                     jnp.full((pad,), jnp.inf, jnp.float32)])
+        found = jnp.concatenate([found, jnp.zeros((pad,), bool)])
+    return LoopResult(index=ids, distance=best_dist, found=found)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def detect_loop(query_desc: jax.Array, db_desc: jax.Array, db_keys: jax.Array,
+                db_ids: jax.Array, db_count: jax.Array,
+                opts: ScanContextOptions = ScanContextOptions()) -> LoopResult:
+    """DetectLoopClosureID done properly: db_desc (N, R, S) padded database,
+    db_keys (N, R), db_ids (N,) per-slot insertion ids (-1 = empty slot; the
+    DB is a ring buffer, so slot order is NOT insertion order at capacity),
+    db_count = total descriptors ever inserted. The most recent
+    `exclude_recent` insertions are excluded (standard ScanContext practice —
+    the reference's submap_gap_ analog, loop_closing.cpp:58). The returned
+    `index` is the matched INSERTION id."""
+    res = detect_loop_topk(query_desc, db_desc, db_keys, db_ids, db_count,
+                           opts, topk=1)
+    return LoopResult(index=res.index[0], distance=res.distance[0],
+                      found=res.found[0])
 
 
 class ScanContextDb:
@@ -166,3 +193,12 @@ class ScanContextDb:
         return detect_loop(q, jnp.asarray(self.desc), jnp.asarray(self.keys),
                            jnp.asarray(self.ids), jnp.int32(self.count),
                            self.opts)
+
+    def query_topk(self, pc: PointCloud, topk: int) -> LoopResult:
+        """Top-`topk` matches, best first (leading (topk,) axis on every
+        LoopResult array; unmatched lanes carry index=-1/found=False)."""
+        q = descriptor(pc, self.opts)
+        return detect_loop_topk(q, jnp.asarray(self.desc),
+                                jnp.asarray(self.keys),
+                                jnp.asarray(self.ids), jnp.int32(self.count),
+                                self.opts, topk=topk)

@@ -529,6 +529,44 @@ def scan_match(target: IcpTarget, opts: IcpOptions, src: PointCloud, R0, t0) -> 
                        iterations=it, chi2=chi2)
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def set_target_batch(pcs: PointCloud, opts: IcpOptions,
+                     origins=None) -> IcpTarget:
+    """Build B independent targets in ONE program: every leaf of `pcs`
+    carries a leading batch axis ((B, N, 3) xyz, (B, N) mask) and the
+    returned IcpTarget's leaves all carry the same leading axis — the
+    stacked-target input `scan_match_batch` consumes."""
+    if origins is None:
+        return jax.vmap(lambda p: set_target(p, opts))(pcs)
+    return jax.vmap(lambda p, o: set_target(p, opts, o))(pcs, origins)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def scan_match_batch(targets: IcpTarget, opts: IcpOptions, srcs: PointCloud,
+                     R0, t0) -> MatchResult:
+    """B independent scan matches as ONE device program (vmap over the full
+    GN loop, Pallas kernels included via their batching rule).
+
+    The single-stream matcher leaves the chip ~99.99% idle — a converged
+    match is ~4 ms of mostly fixed per-iteration overhead (PROFILE.md §1) —
+    so independent registrations (pending loop candidates, multi-robot
+    streams, offline re-registration sweeps) should ride ONE dispatch: the
+    per-iteration fixed cost is paid once for all B and the MXU sees B
+    fused linearizations back to back. This amortizes exactly what the
+    reference pays PER PROBE in its sequential loop over candidates
+    (icp_registration.cpp:161-213). Measured scaling: BENCH_SUITE
+    `throughput_batched`.
+
+    targets: IcpTarget with a leading batch axis (from `set_target_batch`
+    or a tree_map-stack of same-shape targets); srcs: (B, N, 3)/(B, N);
+    R0: (B, 3, 3); t0: (B, 3). Returns a MatchResult whose every leaf has
+    the leading B axis. Each lane runs its own while_loop trip count under
+    vmap semantics (lanes that converge early stop changing state)."""
+    return jax.vmap(
+        lambda tg, s, R, t: scan_match(tg, opts, s, R, t)
+    )(targets, srcs, R0, t0)
+
+
 def _scan_match_vox_frozen(target: IcpTarget, opts: IcpOptions,
                            src: PointCloud, R0, t0) -> MatchResult:
     """p2plane_vox GN with election freezing (freeze_election_after > 0):

@@ -128,3 +128,106 @@ def test_loop_edge_info_quality_weighting():
     import dataclasses
     lo_const = dataclasses.replace(lo, use_quality_info=False)
     assert loop_edge_info(10, 1.0, lo_const) == lo_const.loop_info_scale
+
+
+def _drifted_circle_engine(m=24):
+    """Slam3d with a hand-filled keyframe archive: a drifted circle plus one
+    PERFECT loop edge (same workload as the raw pose-graph test above, but
+    routed through Slam3d.optimize's deterministic bucketed layout)."""
+    ang = np.linspace(0, 2 * np.pi, m, endpoint=False)
+    gt_t = np.stack([5.0 * np.cos(ang), 5.0 * np.sin(ang),
+                     np.zeros(m)], 1).astype(np.float32)
+    gt_R = np.stack([np.asarray(lie.so3_exp(jnp.array([0, 0, a], jnp.float32)))
+                     for a in ang])
+    drift = np.linspace(0, 0.25, m).astype(np.float32)
+    est_R = np.stack([np.asarray(
+        lie.so3_exp(jnp.array([0, 0, a + d], jnp.float32)))
+        for a, d in zip(ang, drift)])
+    est_t = gt_t + np.stack([drift * 3.0, drift * 2.0, 0 * drift], 1)
+
+    eng = slam3d.Slam3d(_small_opts())
+    eng.kf_R = [est_R[i] for i in range(m)]
+    eng.kf_t = [est_t[i].copy() for i in range(m)]
+    Rl, tl = lie.se3_compose(*lie.se3_inverse(jnp.asarray(gt_R[0]),
+                                              jnp.asarray(gt_t[0])),
+                             jnp.asarray(gt_R[-1]), jnp.asarray(gt_t[-1]))
+    eng.loops.append(slam3d.LoopEdge(
+        i=0, j=m - 1, R=np.asarray(Rl), t=np.asarray(tl),
+        chi2_per_pt=1e-3, num_effective=500))
+    return eng, np.asarray(Rl), np.asarray(tl)
+
+
+def test_slam3d_optimize_bucketed_layout():
+    """Slam3d.optimize's deterministic edge layout (odometry padded to
+    nb-1, loops to lb) must close the drifted circle exactly like the raw
+    two-phase solve, and the loop-inlier slice must index the real loop
+    edges (not padding)."""
+    eng, Rl, tl = _drifted_circle_engine()
+    assert eng.optimize()
+    assert eng.loop_inliers.shape == (1,)
+    assert bool(eng.loop_inliers[0])
+    R0, t0 = eng.kf_R[0], eng.kf_t[0]
+    Rrel = R0.T @ eng.kf_R[-1]
+    trel = R0.T @ (eng.kf_t[-1] - t0)
+    np.testing.assert_allclose(trel, tl, atol=0.1)
+
+
+def test_pgo_warm_start_compiles_the_live_shape():
+    """warm_solver must compile the EXACT executable optimize() later
+    dispatches: after a foreground warm of the engine's graph shape, the
+    shape is in _warmed (and timed), and optimize() runs against the
+    cached program (joining no thread)."""
+    eng, _, _ = _drifted_circle_engine()
+    m, nl = len(eng.kf_R), len(eng.loops)
+    shape = eng._solver_shape(m, nl)
+    eng.warm_solver(m, nl, background=False)
+    assert shape in eng._warmed
+    assert eng.warm_times[shape] > 0
+    assert eng.optimize()
+    # __init__'s background warm of the first bucket also lands eventually
+    for th in list(eng._warm_threads.values()):
+        th.join(timeout=120)
+    assert eng._solver_shape(1, 1) in eng._warmed
+
+
+@pytest.mark.slow
+def test_slam_topk_batched_loop_registration():
+    """sc_topk>1 retrieves several ScanContext candidates per keyframe and
+    re-registers them through ONE batched program (_register_loops with
+    len(cands)>1 -> icp.scan_match_batch). The run must exercise the
+    batched path and still close the circle."""
+    import dataclasses
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+
+    log = _loop_log()
+    opts = _small_opts()
+    opts = dataclasses.replace(
+        opts, loop=dataclasses.replace(opts.loop, sc_topk=3),
+        # wider retrieval gate so several candidates survive per keyframe
+        # (the registration chi2/n_eff gates still do the accepting)
+        sc=dataclasses.replace(opts.sc, dist_threshold=0.33),
+        loop_icp=dataclasses.replace(opts.loop_icp, method="p2plane_vox",
+                                     dense_dims=(64, 64, 32),
+                                     plane_min_pts=4))
+    eng = slam3d.Slam3d(opts)
+    batched_calls = {"n": 0}
+    orig = eng._register_loops
+
+    def spy(cands, kf_id, scan):
+        if len(cands) > 1:
+            batched_calls["n"] += 1
+        return orig(cands, kf_id, scan)
+
+    eng._register_loops = spy
+    for t, g, a in zip(log.imu.stamps[:150], log.imu.gyro[:150],
+                       log.imu.acce[:150]):
+        eng.init_imu(g, a, t)
+    for mg in log.measures(imu_capacity=64):
+        scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                          mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+        eng.add_measure(scan, jnp.asarray(mg.imu_gyro),
+                        jnp.asarray(mg.imu_acce),
+                        jnp.asarray(mg.imu_stamp),
+                        jnp.asarray(mg.imu_valid))
+    assert batched_calls["n"] >= 1, "multi-candidate batched path never ran"
+    assert len(eng.loops) >= 1
