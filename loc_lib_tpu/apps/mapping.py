@@ -85,6 +85,15 @@ def run_mapping(log: logdir.SensorLog, opts: lio_mod.LioOptions,
                         np.asarray(stamps), poses)
     gmap = kf_store.assemble_global_map(voxel_size=0.3)
     np.savez(os.path.join(out_dir, "global_map.npz"), xyz=gmap)
+    # rendered observability (the rviz map+odom topics' artifact analog,
+    # lio_mapping_flow.cpp:150-155 — see io/viz.py)
+    from ..io import viz
+    viz.write_png(
+        os.path.join(out_dir, "map_topdown.png"),
+        viz.render_map_topdown(
+            gmap, traj_t=poses[:, :3, 3] if len(poses) else None,
+            ref_t=(log.gt_poses[np.asarray(frame_idxs)][:, :3, 3]
+                   if log.gt_poses is not None and frame_idxs else None)))
     report = {"frames": len(poses), "keyframes": len(kf_store),
               "map_points": int(len(gmap)), "stage_ms": timer.report()}
     # ATE vs ground truth when the log carries it (BASELINE.md plan item 3:

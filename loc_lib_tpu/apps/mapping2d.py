@@ -40,6 +40,14 @@ def run_mapping2d(xy: np.ndarray, valid: np.ndarray, stamps: np.ndarray,
              counts=np.stack([np.asarray(s.grid.counts) for s in engine.submaps]),
              theta_ws=np.asarray([s.theta_ws for s in engine.submaps]),
              t_ws=np.stack([s.t_ws for s in engine.submaps]))
+    # stitched global occupancy PNG (the reference's ShowGlobalMap OpenCV
+    # window, mapping_2d.cpp:186-324, as a run artifact — io/viz.py)
+    from ..io import viz
+    img = viz.render_occupancy_global(
+        engine.global_occupancy(), resolution=opts.grid.resolution,
+        image_size=opts.grid.image_size, unknown=opts.grid.unknown,
+        traj_xy=np.stack([t for _, t in poses2d]) if poses2d else None)
+    viz.write_png(os.path.join(out_dir, "occupancy_global.png"), img)
     report = {"frames": len(poses2d), "submaps": len(engine.submaps),
               "loops": len(engine.loops)}
     with open(os.path.join(out_dir, "report.json"), "w") as f:

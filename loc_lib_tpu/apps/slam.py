@@ -60,6 +60,14 @@ def run_slam(log: logdir.SensorLog, opts: slam3d.Slam3dOptions,
     trajectory.save_kitti(os.path.join(out_dir, "keyframes_optimized_kitti.txt"), kf)
     gmap = engine.assemble_global_map(voxel_size=0.3)
     np.savez(os.path.join(out_dir, "global_map.npz"), xyz=gmap)
+    # rendered observability: optimized map + odometry vs optimized keyframe
+    # trajectory (the reference's live rviz topics as artifacts, io/viz.py)
+    from ..io import viz
+    viz.write_png(
+        os.path.join(out_dir, "map_topdown.png"),
+        viz.render_map_topdown(
+            gmap, traj_t=kf[:, :3, 3] if len(kf) else None,
+            ref_t=odom[:, :3, 3] if len(odom) else None))
     report = {
         "frames": len(odom), "keyframes": len(engine.kf_R),
         "loops": len(engine.loops),

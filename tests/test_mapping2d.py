@@ -183,3 +183,70 @@ def test_pad_graph2d_parity():
     thp, tp, inl_p = pg2d.optimize_two_phase(thp_, tp_, edges_p)
     np.testing.assert_allclose(np.asarray(tp)[:mm], np.asarray(tu), atol=1e-4)
     np.testing.assert_allclose(np.asarray(thp)[:mm], np.asarray(thu), atol=1e-4)
+
+
+def test_viz_renderers_geometry(tmp_path):
+    """io/viz.py unit geometry: PNG roundtrippable magic + sizes; occupancy
+    stitching places a submap's occupied cell at the right world pixel;
+    the top-down map renderer darkens cells where points fall."""
+    import os
+    from loc_lib_tpu.io import viz
+
+    # occupancy: one submap at t_ws=(2, 1), occupied cell at submap center
+    # -> world (2, 1)
+    n, res = 100, 10.0
+    counts = np.full((n, n), 127, np.int64)
+    counts[50, 50] = 137                      # occupied at submap origin
+    counts[50, 60] = 117                      # free 1 m +x of origin
+    img = viz.render_occupancy_global([(counts, 0.0, np.array([2.0, 1.0]))],
+                                      resolution=res, image_size=n,
+                                      unknown=127)
+    h, w = img.shape[:2]
+    # world->px: lo = t_ws - half (half = 5 m) -> x=2 at col (2-(-3))*10=50,
+    # y=1 at row h-1-((1-(-4))*10)=h-1-50
+    occ_px = img[h - 1 - 50, 50]
+    free_px = img[h - 1 - 50, 60]
+    assert occ_px[0] < 100                    # occupied renders dark
+    assert free_px[0] > 200                   # free renders light
+    assert img[5, 5][0] == 200                # unknown mid-gray
+
+    # top-down: points on a line darken their cells; trajectory draws red
+    pts = np.stack([np.linspace(0, 10, 50), np.zeros(50), np.zeros(50)], 1)
+    traj = np.stack([np.linspace(0, 10, 8), np.full(8, 2.0), np.zeros(8)], 1)
+    img3 = viz.render_map_topdown(pts, traj_t=traj, image_size=256)
+    assert img3.shape == (256, 256, 3)
+    reds = (img3[:, :, 0].astype(int) - img3[:, :, 2].astype(int)) > 100
+    assert reds.sum() > 50                    # trajectory visible
+    p = str(tmp_path / "x.png")
+    viz.write_png(p, img3)
+    with open(p, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    assert os.path.getsize(p) > 500
+
+
+def test_mapping2d_app_artifacts(tmp_path):
+    """run_mapping2d end-to-end on a tiny log: report + TUM trajectory +
+    submaps.npz + the stitched occupancy PNG land in out_dir."""
+    import os
+    from loc_lib_tpu.apps.mapping2d import run_mapping2d
+
+    world = synthetic.make_world_2d(seed=2)
+    frames = 8
+    xy = np.zeros((frames, 720, 2), np.float32)
+    valid = np.zeros((frames, 720), bool)
+    for k in range(frames):
+        th, t = 0.04 * k, np.array([0.25 * k, 0.0], np.float32)
+        xy[k], valid[k] = synthetic.render_scan_2d(world, th, t, seed=k)
+    opts = mapping2d.Mapping2dOptions(grid=GOPTS, keyframe_dist=0.2,
+                                      max_keyframes_in_submap=6)
+    out = str(tmp_path / "out2d")
+    report = run_mapping2d(xy, valid, np.arange(frames, dtype=np.float64),
+                           opts, out)
+    assert report["frames"] == frames
+    for f in ("trajectory_tum.txt", "submaps.npz", "report.json",
+              "occupancy_global.png"):
+        assert os.path.exists(os.path.join(out, f)), f
+    png = os.path.join(out, "occupancy_global.png")
+    with open(png, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    assert os.path.getsize(png) > 2000

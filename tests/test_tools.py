@@ -109,6 +109,12 @@ def test_mapping_app_end_to_end(tmp_path):
     # pinned accuracy regression threshold (BASELINE.md plan item 3): the
     # demo log carries ground truth, and the report must record ATE under it
     assert report["ate_rmse_m"] < 0.3, report
+    # rendered observability artifact (io/viz.py): a real PNG of plausible size
+    png = os.path.join(out, "map_topdown.png")
+    assert os.path.exists(png)
+    with open(png, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    assert os.path.getsize(png) > 2000
 
 
 @pytest.mark.slow
