@@ -131,6 +131,67 @@ def bench_lio(matcher: str, frames: int, capacity: int,
     }
 
 
+def bench_lio_sharded(frames: int, capacity: int) -> dict:
+    """The mp-sharded MAPPING pipeline (pipeline/lio_sharded.py: incremental
+    voxel map over 'mp', scans over 'dp') measured end-to-end on the real
+    device mesh — on this 1-chip testbed that is a (1, 1) mesh, so this row
+    validates the distributed program's single-chip cost (the price of the
+    shard_map + psum structure vs the plain path is visible against
+    ndt_inc_odometry); capacity scaling evidence lives in
+    tests/test_map_shard.py (8-device parity with per-shard tables smaller
+    than the live map) and scaling_map_shard."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from loc_lib_tpu.io import logdir
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import lio as lio_mod, lio_sharded
+    from loc_lib_tpu.models import ndt as ndt_mod
+    from loc_lib_tpu.parallel import mesh as mesh_mod
+    from loc_lib_tpu.eval import metrics
+
+    log = logdir.make_demo_log(num_frames=frames, capacity=capacity,
+                               yaw_rate=0.0, speed=2.0)
+    n_dev = jax.device_count()
+    mp = n_dev if n_dev > 1 else 1
+    mesh = mesh_mod.make_mesh_2d(max(1, n_dev // mp), mp)
+    opts = lio_mod.LioOptions(
+        matcher="ndt_inc",
+        ndt=ndt_mod.NdtOptions(method="incremental", voxel_size=1.0),
+        scan_capacity=capacity, with_eskf=True)
+    engine = lio_sharded.LioSharded(mesh, opts)
+    for t, g, a in zip(log.imu.stamps[:150], log.imu.gyro[:150],
+                       log.imu.acce[:150]):
+        engine.init_imu(g, a, t)
+    assert engine.imu_inited
+
+    warmup = 6
+    times, idxs = [], []
+    for mg in log.measures(imu_capacity=64):
+        scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                          mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+        t0 = time.perf_counter()
+        out = engine.add_measure(scan, jnp.asarray(mg.imu_gyro),
+                                 jnp.asarray(mg.imu_acce),
+                                 jnp.asarray(mg.imu_stamp),
+                                 jnp.asarray(mg.imu_valid))
+        jax.block_until_ready(out.t)
+        times.append(time.perf_counter() - t0)
+        idxs.append(mg.scan_index)
+    poses = np.stack(engine.poses)
+    a = metrics.ate(poses, log.gt_poses[np.asarray(idxs)])
+    steady = np.asarray(times[warmup:])
+    live = engine.live_voxels_per_shard()
+    return {
+        "frames": frames,
+        "scan_capacity": capacity,
+        "mesh": dict(mesh.shape),
+        "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
+        "ms_per_scan_p50": round(float(np.percentile(steady, 50)) * 1e3, 2),
+        "ate_rmse_m": round(a.rmse, 4),
+        "live_voxels_per_shard": [int(v) for v in live],
+    }
+
+
 def bench_loam(frames: int, capacity: int) -> dict:
     """End-to-end LOAM odometry (the row VERDICT r2 flagged as missing):
     ring-annotated scans -> edge/surf curvature extraction -> matcher='loam'
@@ -698,6 +759,7 @@ def main():
          lambda: bench_lio("icp_vox_inc", frames, cap,
                            icp_method="p2plane_vox")),
         ("ndt_inc_odometry", lambda: bench_lio("ndt_inc", frames, cap)),
+        ("lio_sharded_mapping", lambda: bench_lio_sharded(frames, cap)),
         ("loam_odometry", lambda: bench_loam(frames, cap)),
         ("loc_matching", lambda: bench_loc(frames, cap)),
         ("mapping2d", lambda: bench_mapping2d(80 if not args.quick else 24)),

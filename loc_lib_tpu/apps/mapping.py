@@ -27,13 +27,35 @@ from ..utils.timing import StageTimer
 
 def run_mapping(log: logdir.SensorLog, opts: lio_mod.LioOptions,
                 out_dir: str, ckpt_every: int = 0,
-                resume: bool = False, use_orbax=None) -> dict:
+                resume: bool = False, use_orbax=None,
+                mp_shards: int = 0) -> dict:
     """use_orbax: None = auto (orbax when importable, the production path);
-    False forces the npz fallback."""
+    False forces the npz fallback.
+
+    mp_shards > 0 runs the spatially sharded mapping pipeline
+    (pipeline/lio_sharded): the incremental voxel map partitioned over an
+    mp-axis mesh so the MAPPING working set scales past one device's HBM —
+    the scaled analog of the reference's 100k-voxel LRU table
+    (ndt_registration.cpp:150-174). Requires matcher='ndt_inc';
+    checkpoint/resume stays single-device for now."""
     os.makedirs(out_dir, exist_ok=True)
     import jax.numpy as jnp
 
-    engine = lio_mod.Lio(opts)
+    if mp_shards > 0:
+        import jax
+        from ..parallel import mesh as mesh_mod
+        from ..pipeline import lio_sharded
+
+        assert opts.matcher == "ndt_inc", (
+            "sharded mapping runs the incremental NDT matcher "
+            f"(got {opts.matcher!r})")
+        assert not ckpt_every and not resume, (
+            "checkpoint/resume is single-device-only")
+        dp = max(1, jax.device_count() // mp_shards)
+        engine = lio_sharded.LioSharded(
+            mesh_mod.make_mesh_2d(dp, mp_shards), opts)
+    else:
+        engine = lio_mod.Lio(opts)
     kf_store = ckpt_io.KeyframeStore(os.path.join(out_dir, "key_frames"),
                                      fresh=not resume)
     ckpt = ckpt_io.Checkpointer(os.path.join(out_dir, "ckpt"),
@@ -96,6 +118,10 @@ def run_mapping(log: logdir.SensorLog, opts: lio_mod.LioOptions,
                    if log.gt_poses is not None and frame_idxs else None)))
     report = {"frames": len(poses), "keyframes": len(kf_store),
               "map_points": int(len(gmap)), "stage_ms": timer.report()}
+    if mp_shards > 0:
+        report["mp_shards"] = mp_shards
+        report["live_voxels_per_shard"] = [
+            int(v) for v in engine.live_voxels_per_shard()]
     # ATE vs ground truth when the log carries it (BASELINE.md plan item 3:
     # the reference never measured this — eyeballed in rviz, SURVEY.md §4)
     if log.gt_poses is not None and len(poses) >= 3:
@@ -121,6 +147,10 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-orbax", action="store_true",
                     help="force the npz checkpoint fallback instead of orbax")
+    ap.add_argument("--mp-shards", type=int, default=0,
+                    help="shard the incremental voxel map over this many "
+                         "mesh 'mp' slices (matcher becomes ndt_inc; the "
+                         "mapping working set scales past one device)")
     args = ap.parse_args(argv)
 
     if args.demo:
@@ -135,10 +165,14 @@ def main(argv=None):
         opts = config_io.lio_options(cfg)
     else:
         opts = lio_mod.LioOptions(scan_capacity=log.scan_xyz.shape[1])
+    if args.mp_shards > 0 and opts.matcher != "ndt_inc":
+        import dataclasses
+        opts = dataclasses.replace(opts, matcher="ndt_inc")
 
     report = run_mapping(log, opts, args.out, ckpt_every=args.ckpt_every,
                          resume=args.resume,
-                         use_orbax=False if args.no_orbax else None)
+                         use_orbax=False if args.no_orbax else None,
+                         mp_shards=args.mp_shards)
     print(json.dumps(report))
 
 

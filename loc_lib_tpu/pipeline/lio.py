@@ -464,6 +464,37 @@ def preprocess_scan(opts: LioOptions, xyz: jax.Array, mask: jax.Array) -> PointC
 # Host driver (the stateful convenience wrapper, mirroring the C++ object)
 # ---------------------------------------------------------------------------
 
+class ImuStaticInit:
+    """Host wrapper of the static-IMU seed flow (StaticIMUInit::AddIMU +
+    TryInit, lio.cpp:70-99): buffers samples until a stationary window of
+    init_time_seconds passes the variance gates, then returns the seeded
+    EskfState ONCE. Shared by Lio and the sharded mapping pipeline."""
+
+    def __init__(self):
+        self.buffer: list[tuple[float, np.ndarray, np.ndarray]] = []
+
+    def add(self, gyro, acce, timestamp):
+        """Returns the seeded EskfState when ready, else None."""
+        self.buffer.append((float(timestamp), np.asarray(gyro),
+                            np.asarray(acce)))
+        if len(self.buffer) < 10:
+            return None
+        t0, t1 = self.buffer[0][0], self.buffer[-1][0]
+        if t1 - t0 < eskf_mod.ImuInitOptions().init_time_seconds:
+            return None
+        gyros = jnp.asarray(np.stack([g for _, g, _ in self.buffer]),
+                            jnp.float32)
+        acces = jnp.asarray(np.stack([a for _, _, a in self.buffer]),
+                            jnp.float32)
+        valid = jnp.ones((gyros.shape[0],), bool)
+        res = eskf_mod.static_imu_init(gyros, acces, valid)
+        if not bool(res.success):
+            self.buffer.pop(0)
+            return None
+        return eskf_mod.init_state(bg=res.bg, ba=res.ba,
+                                   gravity=res.gravity, time=t1)
+
+
 class Lio:
     """Stateful wrapper: owns a LioState, records keyframe poses, exposes the
     reference's object API (AddCloud/AddMeasure/InitImu/GetAllKeyFramePose,
@@ -476,7 +507,7 @@ class Lio:
         self.state = init_state(opts, R_il, t_il)
         self.poses: list[np.ndarray] = []        # per-frame 4x4 T_w_l
         self.kf_poses: list[np.ndarray] = []
-        self.imu_buffer: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self._imu_init = ImuStaticInit()
         self.imu_inited = not opts.with_eskf
         # system-level failure detection (SURVEY.md section 5: the reference
         # has none) — fed from the same batched pull as the pose record
@@ -488,21 +519,9 @@ class Lio:
         the filter is seeded."""
         if self.imu_inited:
             return True
-        self.imu_buffer.append((float(timestamp), np.asarray(gyro), np.asarray(acce)))
-        if len(self.imu_buffer) < 10:
+        st = self._imu_init.add(gyro, acce, timestamp)
+        if st is None:
             return False
-        t0, t1 = self.imu_buffer[0][0], self.imu_buffer[-1][0]
-        if t1 - t0 < eskf_mod.ImuInitOptions().init_time_seconds:
-            return False
-        gyros = jnp.asarray(np.stack([g for _, g, _ in self.imu_buffer]), jnp.float32)
-        acces = jnp.asarray(np.stack([a for _, _, a in self.imu_buffer]), jnp.float32)
-        valid = jnp.ones((gyros.shape[0],), bool)
-        res = eskf_mod.static_imu_init(gyros, acces, valid)
-        if not bool(res.success):
-            self.imu_buffer.pop(0)
-            return False
-        st = eskf_mod.init_state(bg=res.bg, ba=res.ba, gravity=res.gravity,
-                                 time=t1)
         self.state = self.state._replace(eskf=st)
         self.imu_inited = True
         return True
