@@ -20,9 +20,17 @@ from ..pipeline import mapping2d as m2d
 
 
 def run_mapping2d(xy: np.ndarray, valid: np.ndarray, stamps: np.ndarray,
-                  opts: m2d.Mapping2dOptions, out_dir: str) -> dict:
+                  opts: m2d.Mapping2dOptions, out_dir: str,
+                  device_resident: bool = True) -> dict:
+    """device_resident=True (production) runs the one-jitted-step-per-scan
+    engine (pipeline/mapping2d_device.py); False runs the host-driven
+    reference-shaped twin, kept as its pinned oracle."""
     os.makedirs(out_dir, exist_ok=True)
-    engine = m2d.Mapping2D(opts)
+    if device_resident:
+        from ..pipeline.mapping2d_device import Mapping2DDevice
+        engine = Mapping2DDevice(opts, num_beams=xy.shape[1])
+    else:
+        engine = m2d.Mapping2D(opts)
     poses2d = []
     for k in range(len(xy)):
         th, t = engine.process_scan(xy[k], valid[k])
@@ -61,6 +69,9 @@ def main(argv=None):
     ap.add_argument("--demo", action="store_true")
     ap.add_argument("--demo-frames", type=int, default=40)
     ap.add_argument("--out", default="./mapping2d_out")
+    ap.add_argument("--host-driven", action="store_true",
+                    help="run the host-driven oracle engine instead of the "
+                         "device-resident one")
     args = ap.parse_args(argv)
 
     if args.demo:
@@ -80,7 +91,9 @@ def main(argv=None):
         d = np.load(os.path.join(args.log, "scans2d.npz"))
         xy, valid, stamps = d["xy"], d["valid"], d["stamps"]
 
-    report = run_mapping2d(xy, valid, stamps, m2d.Mapping2dOptions(), args.out)
+    report = run_mapping2d(xy, valid, stamps, m2d.Mapping2dOptions(),
+                           args.out,
+                           device_resident=not args.host_driven)
     print(json.dumps(report))
 
 
