@@ -118,6 +118,12 @@ class IcpTarget(NamedTuple):
     # direction d) — the generalized-Gaussian form the fused kernel consumes.
     line_packed: Optional[jax.Array] = None  # (V, 13)
     line_dir: Optional[jax.Array] = None     # (V, 3) kept for tests
+    # p2plane_vox_oct extras: correspondences PRE-ELECTED per (voxel, octant)
+    # at target-build time, so an iteration gathers ONE 8-float row per point
+    # instead of 7 (see _p2plane_vox_oct_terms).
+    dense_oct: Optional[voxel.DenseIndex] = None  # over the DILATED key set
+    oct_table: Optional[jax.Array] = None    # (V7, 8) int32 -> packed_ext row
+    packed_ext: Optional[jax.Array] = None   # (V+1, 8); last row invalid
 
 
 def _merge_neighbor_moments(keys, count, mean, cov, dense, dims):
@@ -258,6 +264,64 @@ def target_from_moment_table(keys, count, mean, cov, dense_table, dense_lo,
                      plane_valid=valid, dense=dense)
 
 
+def _build_oct_tables(grid: voxel.HashGrid, dense: voxel.DenseIndex,
+                      packed: jax.Array, opts: IcpOptions):
+    """Pre-elect the correspondence for every (voxel, octant) cell.
+
+    The per-iteration hot path of p2plane_vox spends ~60% of its time on
+    the XLA-side election: a 7-key dense lookup + (N, 7, 8) row gather +
+    nearest-centroid argmin per point per GN iteration (PROFILE.md §1/§8 —
+    freezing the election wins 1.6x but is unsafe in feedback loops).
+    This is the safe middle ground: the same nearest-valid-centroid
+    election over the NEARBY6+self stencil, evaluated ONCE at target-build
+    time at the 8 octant centers of every voxel (half-voxel spatial
+    granularity), for the DILATED voxel set (occupied voxels + their empty
+    face neighbors, so queries that fall just off the surface still find
+    the neighboring plane, like the stencil does). Per iteration a point
+    then needs one dense lookup + one (N,) index gather + one (N, 8) row
+    gather — ~7x less gather traffic — and the election still TRACKS THE
+    POSE because the (voxel, octant) cell a point lands in changes as the
+    pose moves (unlike freeze_election_after, whose assignment is pinned
+    to points). Deviation from exact per-point election is bounded by the
+    half-voxel cell size; trajectory parity is pinned by tests.
+
+    Returns (dense_oct, oct_table (V7, 8) int32, packed_ext (V+1, 8))."""
+    keys = grid.voxel_keys                                   # (V,)
+    v = keys.shape[0]
+    coords = voxel.key_to_coords(keys)
+    nb = voxel.coords_to_key(
+        coords[:, None, :] + voxel.NEARBY6[None, :, :],
+        keys[:, None] != voxel.INVALID_KEY)                  # (V, 7)
+    allk = jnp.sort(nb.reshape(-1))                          # (7V,)
+    first = jnp.concatenate([jnp.ones((1,), bool), allk[1:] != allk[:-1]])
+    dk = jnp.sort(jnp.where(first & (allk != voxel.INVALID_KEY), allk,
+                            voxel.INVALID_KEY))              # deduped keys
+    dense_oct = voxel.build_dense_index(dk, dims=opts.dense_dims)
+
+    dc = voxel.key_to_coords(dk)                             # (7V, 3)
+    stencil = voxel.coords_to_key(
+        dc[:, None, :] + voxel.NEARBY6[None, :, :],
+        dk[:, None] != voxel.INVALID_KEY)                    # (7V, 7)
+    slot7, found7 = voxel.lookup_dense(dense, opts.dense_dims, stencil)
+    rows7 = packed[slot7]                                    # (7V, 7, 8)
+    valid7 = found7 & (rows7[..., 7] > 0.5)
+    mu7 = rows7[..., 4:7]
+    # octant centers in world coordinates (floor binning: cell = [c, c+1))
+    offs = (((jnp.arange(8)[:, None] >> jnp.arange(3)[None, :]) & 1)
+            .astype(jnp.float32) * 0.5 + 0.25)               # (8, 3)
+    leaf = 1.0 / grid.inv_leaf
+    pos = (dc[:, None, :].astype(jnp.float32) + offs[None]) * leaf \
+        + grid.origin                                        # (7V, 8, 3)
+    d2 = jnp.sum((mu7[:, None, :, :] - pos[:, :, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid7[:, None, :], d2, jnp.inf)          # (7V, 8, 7)
+    pick = jnp.argmin(d2, axis=2)                            # (7V, 8)
+    picked = jnp.take_along_axis(slot7, pick, axis=1)        # (7V, 8)
+    has = jnp.isfinite(jnp.min(d2, axis=2))                  # (7V, 8)
+    oct_table = jnp.where(has, picked, v).astype(jnp.int32)
+    packed_ext = jnp.concatenate([packed, jnp.zeros((1, 8), packed.dtype)])
+    return dense_oct, oct_table, packed_ext
+
+
 def _masked_centroid(pc: PointCloud) -> jax.Array:
     n = jnp.maximum(jnp.sum(pc.mask.astype(jnp.float32)), 1.0)
     return jnp.sum(jnp.where(pc.mask[:, None], pc.xyz, 0.0), axis=0) / n
@@ -269,7 +333,7 @@ def set_target(pc: PointCloud, opts: IcpOptions, origin=None) -> IcpTarget:
     (SetInputTarget, icp_registration.cpp:9-29)."""
     grid = voxel.build_hash_grid(pc, opts.grid_leaf, opts.bucket_size, origin)
     cen = _masked_centroid(pc)
-    if opts.method not in ("p2plane_vox", "p2line_vox"):
+    if opts.method not in ("p2plane_vox", "p2plane_vox_oct", "p2line_vox"):
         return IcpTarget(grid=grid, centroid=cen)
     dense = voxel.build_dense_index(grid.voxel_keys, dims=opts.dense_dims)
     if opts.method == "p2line_vox":
@@ -279,8 +343,14 @@ def set_target(pc: PointCloud, opts: IcpOptions, origin=None) -> IcpTarget:
     plane, plane_mu, plane_valid = _build_plane_table(pc, grid, opts, dense)
     packed = jnp.concatenate(
         [plane, plane_mu, plane_valid[:, None].astype(jnp.float32)], axis=1)
-    return IcpTarget(grid=grid, centroid=cen, packed=packed, plane=plane,
-                     plane_mu=plane_mu, plane_valid=plane_valid, dense=dense)
+    tgt = IcpTarget(grid=grid, centroid=cen, packed=packed, plane=plane,
+                    plane_mu=plane_mu, plane_valid=plane_valid, dense=dense)
+    if opts.method == "p2plane_vox_oct":
+        dense_oct, oct_table, packed_ext = _build_oct_tables(grid, dense,
+                                                             packed, opts)
+        tgt = tgt._replace(dense_oct=dense_oct, oct_table=oct_table,
+                           packed_ext=packed_ext)
+    return tgt
 
 
 class MatchResult(NamedTuple):
@@ -453,8 +523,35 @@ def _p2line_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t
         interpret=not pallas_kernels.on_tpu())
 
 
+def _p2plane_vox_oct_terms(target: IcpTarget, opts: IcpOptions,
+                           src: PointCloud, R, t):
+    """Octant-pre-elected P2Plane linearization (see _build_oct_tables):
+    per point, ONE dense lookup of its (voxel, octant) cell + one row
+    gather of the pre-elected plane, then the plane-only fused kernel. The
+    election tracks the pose (the cell a point lands in moves with it) at
+    half-voxel granularity instead of exactly per point."""
+    q = src.xyz
+    qs = q @ R.T + t
+    u = (qs - target.grid.origin) * target.grid.inv_leaf
+    vc = jnp.floor(u).astype(jnp.int32)
+    frac = u - jnp.floor(u)
+    octant = ((frac[:, 0] > 0.5).astype(jnp.int32)
+              + 2 * (frac[:, 1] > 0.5).astype(jnp.int32)
+              + 4 * (frac[:, 2] > 0.5).astype(jnp.int32))
+    key = voxel.coords_to_key(vc, src.mask)
+    slot, found = voxel.lookup_dense(target.dense_oct, opts.dense_dims, key)
+    row_slot = jnp.take_along_axis(target.oct_table[slot], octant[:, None],
+                                   axis=1)[:, 0]             # (N,)
+    rows = target.packed_ext[row_slot]                       # (N, 8)
+    w = (found & (rows[:, 7] > 0.5) & src.mask).astype(q.dtype)
+    return pallas_kernels.p2plane_fused_terms(
+        q, rows[:, 0:4], w, R, t, opts.max_plane_distance,
+        interpret=not pallas_kernels.on_tpu())
+
+
 _TERM_FNS = {"p2p": _p2p_terms, "p2line": _p2line_terms,
              "p2plane": _p2plane_terms, "p2plane_vox": _p2plane_vox_terms,
+             "p2plane_vox_oct": _p2plane_vox_oct_terms,
              "p2line_vox": _p2line_vox_terms}
 
 

@@ -491,3 +491,98 @@ def test_scan_match_batch_matches_scalar():
         np.testing.assert_array_equal(np.asarray(res_s.t),
                                       np.asarray(res_b.t)[b])
         assert bool(res_s.converged) == bool(np.asarray(res_b.converged)[b])
+
+
+def test_p2plane_vox_oct_recovers_pose():
+    rng = np.random.default_rng(7)
+    scene, src, R_true, t_true = _make_pair(rng, [0.02, -0.03, 0.04],
+                                            [0.3, -0.2, 0.15])
+    opts = icp.IcpOptions(method="p2plane_vox_oct", dense_dims=(64, 64, 32))
+    tgt = icp.set_target(pcm.from_numpy(scene, capacity=2048), opts)
+    res = icp.scan_match(tgt, opts, pcm.from_numpy(src, capacity=2048),
+                         jnp.eye(3), jnp.zeros(3))
+    rot_err, t_err = _pose_err(res, R_true, t_true)
+    assert bool(res.converged)
+    assert rot_err < 5e-3 and t_err < 5e-2
+
+
+def test_oct_election_matches_exact_at_octant_centers():
+    """The octant-pre-elected correspondence (p2plane_vox_oct) evaluates the
+    SAME nearest-valid-centroid election as p2plane_vox, just at the octant
+    center instead of the point: for query points placed exactly AT octant
+    centers the two must agree wherever both find a plane."""
+    rng = np.random.default_rng(3)
+    scene = _structured_scene(rng)
+    opts_o = icp.IcpOptions(method="p2plane_vox_oct", dense_dims=(64, 64, 32))
+    opts_v = icp.IcpOptions(method="p2plane_vox", dense_dims=(64, 64, 32))
+    pc = pcm.from_numpy(scene, capacity=2048)
+    tgt_o = icp.set_target(pc, opts_o)
+    tgt_v = icp.set_target(pc, opts_v)
+
+    # octant-center probes of occupied voxels
+    from loc_lib_tpu.ops import voxel as vox
+    keys = np.asarray(tgt_v.grid.voxel_keys)
+    coords = np.asarray(vox.key_to_coords(jnp.asarray(keys)))
+    live = keys != np.iinfo(np.int32).max
+    cs = coords[live][:64]
+    offs = (((np.arange(8)[:, None] >> np.arange(3)[None, :]) & 1)
+            * 0.5 + 0.25)
+    leaf = 1.0 / float(tgt_v.grid.inv_leaf)
+    origin = np.asarray(tgt_v.grid.origin)
+    pts = (cs[:, None, :] + offs[None]).reshape(-1, 3) * leaf + origin
+    probes = pcm.PointCloud(xyz=jnp.asarray(pts, jnp.float32),
+                            mask=jnp.ones((len(pts),), bool))
+
+    plane_exact, w_exact = icp._p2plane_vox_elect(
+        tgt_v, opts_v, probes, jnp.eye(3), jnp.zeros(3))
+    # oct path's elected plane, extracted the same way the terms fn does
+    u = (probes.xyz - tgt_o.grid.origin) * tgt_o.grid.inv_leaf
+    vc = jnp.floor(u).astype(jnp.int32)
+    frac = u - jnp.floor(u)
+    octant = ((frac[:, 0] > 0.5).astype(jnp.int32)
+              + 2 * (frac[:, 1] > 0.5).astype(jnp.int32)
+              + 4 * (frac[:, 2] > 0.5).astype(jnp.int32))
+    key = vox.coords_to_key(vc, probes.mask)
+    slot, found = vox.lookup_dense(tgt_o.dense_oct, opts_o.dense_dims, key)
+    row = jnp.take_along_axis(tgt_o.oct_table[slot], octant[:, None],
+                              axis=1)[:, 0]
+    rows = tgt_o.packed_ext[row]
+    both = (np.asarray(w_exact) > 0.5) & np.asarray(found) \
+        & (np.asarray(rows[:, 7]) > 0.5)
+    assert both.sum() > 100
+    np.testing.assert_allclose(np.asarray(rows[:, 0:4])[both],
+                               np.asarray(plane_exact)[both], atol=1e-6)
+
+
+def test_lio_vox_oct_tracks_like_vox():
+    """Half-voxel-granular election must not change LIO tracking materially:
+    ATE within 1.3x of the exact-election path on the demo log."""
+    import jax
+    from loc_lib_tpu.io import logdir
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import lio as lio_mod
+    from loc_lib_tpu.eval import metrics
+
+    log = logdir.make_demo_log(num_frames=14, capacity=4096, yaw_rate=0.0,
+                               speed=2.0)
+    ates = {}
+    for meth in ("p2plane_vox", "p2plane_vox_oct"):
+        opts = lio_mod.LioOptions(
+            matcher="icp", icp=icp.IcpOptions(method=meth),
+            scan_capacity=4096, with_eskf=True)
+        eng = lio_mod.Lio(opts)
+        for t, g, a in zip(log.imu.stamps[:150], log.imu.gyro[:150],
+                           log.imu.acce[:150]):
+            eng.init_imu(g, a, t)
+        idxs = []
+        for mg in log.measures(imu_capacity=64):
+            scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                              mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+            eng.add_measure(scan, jnp.asarray(mg.imu_gyro),
+                            jnp.asarray(mg.imu_acce),
+                            jnp.asarray(mg.imu_stamp),
+                            jnp.asarray(mg.imu_valid))
+            idxs.append(mg.scan_index)
+        ates[meth] = metrics.ate(np.stack(eng.poses),
+                                 log.gt_poses[np.asarray(idxs)]).rmse
+    assert ates["p2plane_vox_oct"] < 1.3 * ates["p2plane_vox"] + 0.02, ates
