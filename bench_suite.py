@@ -46,6 +46,34 @@ def _setup_jax():
     return jax
 
 
+def _rtt_ms(jax) -> float:
+    """Device->host round-trip latency RIGHT NOW. The tunnel degrades
+    within a session (25 ms healthy -> >1 s hours in, CLAUDE.md), and every
+    per-scan host-loop rate is floored by this number — recording it makes
+    the steady rows interpretable."""
+    import jax.numpy as jnp
+    x = jax.block_until_ready(jnp.ones((64,), jnp.float32) * 2.0)
+    jax.device_get(x)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.device_get(x)
+    return round((time.perf_counter() - t0) / 3 * 1e3, 1)
+
+
+def bench_tunnel_probe() -> dict:
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    x = jnp.ones((256, 256))
+    jax.block_until_ready(x @ x)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.block_until_ready(x @ x)
+    dispatch = (time.perf_counter() - t0) / 10
+    return {"backend": jax.default_backend(),
+            "dispatch_sync_ms": round(dispatch * 1e3, 2),
+            "pull_rtt_ms": _rtt_ms(jax)}
+
+
 def bench_lio(matcher: str, frames: int, capacity: int,
               icp_method: str = "p2plane") -> dict:
     """Full-log LIO: steady-state scans/s + ATE vs the synthetic ground
@@ -86,14 +114,15 @@ def bench_lio(matcher: str, frames: int, capacity: int,
         inp = (scan, jnp.asarray(mg.imu_gyro), jnp.asarray(mg.imu_acce),
                jnp.asarray(mg.imu_stamp), jnp.asarray(mg.imu_valid))
         dev_inputs.append(inp)
-        if len(dev_inputs) == warmup:
-            state_w = engine.state  # steady-state snapshot for the
-            #                         pipelined pass below
         t0 = time.perf_counter()
         out = engine.add_measure(inp[0], *inp[1:])
         jax.block_until_ready(out.t)
         times.append(time.perf_counter() - t0)
         idxs.append(mg.scan_index)
+        if len(dev_inputs) == warmup:
+            state_w = engine.state  # post-step snapshot: the pipelined
+            #                         replay of dev_inputs[warmup:] continues
+            #                         the chain with no skipped frame
     poses = np.stack(engine.poses)
     a = metrics.ate(poses, log.gt_poses[np.asarray(idxs)])
     steady = np.asarray(times[warmup:])
@@ -229,14 +258,14 @@ def bench_loam(frames: int, capacity: int) -> dict:
         inp = (ringed, jnp.asarray(mg.imu_gyro), jnp.asarray(mg.imu_acce),
                jnp.asarray(mg.imu_stamp), jnp.asarray(mg.imu_valid))
         dev_inputs.append(inp)
-        if len(dev_inputs) == warmup:
-            state_w = engine.state
         feats = loam_mod.extract_features(ringed, fopts)
         t0 = time.perf_counter()
         out = engine.add_measure(feats.surf, *inp[1:], edge_scan=feats.edge)
         jax.block_until_ready(out.t)
         times.append(time.perf_counter() - t0)
         idxs.append(mg.scan_index)
+        if len(dev_inputs) == warmup:
+            state_w = engine.state  # post-step snapshot (see bench_lio)
     poses = np.stack(engine.poses)
     a = metrics.ate(poses, log.gt_poses[np.asarray(idxs)])
     steady = np.asarray(times[warmup:])
@@ -391,11 +420,14 @@ def bench_slam3d(frames: int, capacity: int) -> dict:
     t0 = time.perf_counter()
     engine.optimize()                        # same graph shape: cached
     pgo_s = time.perf_counter() - t0
+    for th in list(engine._warm_threads.values()):
+        th.join(timeout=300)  # don't let interpreter exit mid-compile
     return {
         "frames": frames,
         "keyframes": len(engine.kf_R),
         "loops_accepted": len(engine.loops),
-        "loop_inliers": int(engine.loop_inliers.sum()),
+        "loop_inliers": (int(engine.loop_inliers.sum())
+                         if engine.loop_inliers is not None else 0),
         "pgo_ran": bool(ran),
         "pgo_wall_s": round(pgo_s, 3),
         "pgo_first_call_s": round(pgo_first_s, 3),
@@ -445,6 +477,7 @@ def bench_mapping2d(frames: int) -> dict:
         xy[k], valid[k] = synthetic.render_scan_2d(world, a, t, seed=k)
         gt.append((a, t))
 
+    rtt_at_start = _rtt_ms(jax)
     opts = m2d.Mapping2dOptions(max_keyframes_in_submap=16)
     engine = m2dd.Mapping2DDevice(opts)
     warmup = 4
@@ -477,6 +510,7 @@ def bench_mapping2d(frames: int) -> dict:
         "frames": frames,
         "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
         "scans_per_sec_pipelined": round(1.0 / pipelined, 2),
+        "tunnel_pull_ms_at_start": rtt_at_start,
         "submaps": len(engine.submaps),
         "loops": loops_valid,
         "trans_rmse_m": round(float(np.sqrt(np.mean(np.square(err_t)))), 4),
@@ -535,37 +569,104 @@ def bench_throughput_batched(n_target: int, n_source: int,
     single = (time.perf_counter() - t0) / repeats
 
     out = {}
+    best_b = 1
     for B in (1, 4, 16, 64):
-        bt = icp.set_target_batch(
-            stack([PointCloud(xyz=t.xyz, mask=t.mask) for t in tgts[:B]]),
-            opts)
-        bs = stack([PointCloud(xyz=s.xyz, mask=s.mask) for s in srcs[:B]])
-        bR = jnp.asarray(np.stack(R0s[:B]), jnp.float32)
-        bT = jnp.asarray(np.stack(t0s[:B]), jnp.float32)
-        jax.block_until_ready(bt)
-        res = icp.scan_match_batch(bt, opts, bs, bR, bT)
-        jax.block_until_ready(res)
-        t0 = time.perf_counter()
-        for _ in range(repeats):
+        try:
+            bt = icp.set_target_batch(
+                stack([PointCloud(xyz=t.xyz, mask=t.mask)
+                       for t in tgts[:B]]), opts)
+            bs = stack([PointCloud(xyz=s.xyz, mask=s.mask)
+                        for s in srcs[:B]])
+            bR = jnp.asarray(np.stack(R0s[:B]), jnp.float32)
+            bT = jnp.asarray(np.stack(t0s[:B]), jnp.float32)
+            jax.block_until_ready(bt)
             res = icp.scan_match_batch(bt, opts, bs, bR, bT)
-        jax.block_until_ready(res)
-        dt_call = (time.perf_counter() - t0) / repeats
-        conv = int(np.sum(np.asarray(res.converged)))
-        out[B] = {
-            "ms_per_call": round(dt_call * 1e3, 2),
-            "aggregate_scans_per_sec": round(B / dt_call, 1),
-            "converged": conv,
-        }
-        assert conv == B, f"B={B}: only {conv} lanes converged"
+            jax.block_until_ready(res)
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                res = icp.scan_match_batch(bt, opts, bs, bR, bT)
+            jax.block_until_ready(res)
+            dt_call = (time.perf_counter() - t0) / repeats
+            conv = int(np.sum(np.asarray(res.converged)))
+            out[B] = {
+                "ms_per_call": round(dt_call * 1e3, 2),
+                "aggregate_scans_per_sec": round(B / dt_call, 1),
+                "converged": conv,
+            }
+            assert conv == B, f"B={B}: only {conv} lanes converged"
+            best_b = B
+            del bt, bs, res
+        except Exception as e:  # record which B failed, keep earlier rows
+            out[B] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+            break
     return {
         "backend": jax.default_backend(),
         "n_target": n_target,
         "n_source": n_source,
         "single_stream_scans_per_sec": round(1.0 / single, 1),
         "batched": {str(k): v for k, v in out.items()},
-        "speedup_at_64_vs_single": round(
-            out[64]["aggregate_scans_per_sec"] * single, 1),
+        "speedup_at_best_b_vs_single": round(
+            out[best_b]["aggregate_scans_per_sec"] * single, 1),
+        "best_b": best_b,
     }
+
+
+def bench_matcher_variants(n_target: int, n_source: int,
+                           repeats: int) -> dict:
+    """Single-stream matcher variants at the standard operating point:
+    exact per-point election (p2plane_vox) vs octant-pre-elected
+    correspondences (p2plane_vox_oct, PROFILE lever 2) — converged
+    scans/s, forced-20-iteration ms/iter, and the pose agreement between
+    the two on the same pair."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from loc_lib_tpu.io import synthetic
+    from loc_lib_tpu.models import icp
+
+    world = synthetic.make_world(num_points=200000, extent=80.0, seed=7)
+    traj = synthetic.make_trajectory(num_frames=2, dt=0.1, speed=2.0)
+    tgt = synthetic.render_scan(world, traj.R[0], traj.t[0], max_range=70.0,
+                                max_points=n_target, noise=0.01, seed=0,
+                                capacity=n_target)
+    src = synthetic.render_scan(world, traj.R[1], traj.t[1], max_range=70.0,
+                                max_points=n_source, noise=0.01, seed=1,
+                                capacity=n_source)
+    R0 = jnp.asarray(traj.R[0].T @ traj.R[1], jnp.float32)
+    t0v = jnp.asarray(traj.R[0].T @ (traj.t[1] - traj.t[0]), jnp.float32)
+
+    out = {}
+    poses = {}
+    for meth in ("p2plane_vox", "p2plane_vox_oct"):
+        row = {}
+        for tag, eps in (("converged", 1e-2), ("iter20", 0.0)):
+            opts = icp.IcpOptions(method=meth, eps=eps)
+            target = icp.set_target(tgt, opts)
+            jax.block_until_ready(target)
+            res = icp.scan_match(target, opts, src, R0, t0v)
+            jax.block_until_ready(res)
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                res = icp.scan_match(target, opts, src, R0, t0v)
+            jax.block_until_ready(res)
+            dt_call = (time.perf_counter() - t0) / repeats
+            if tag == "converged":
+                row["scans_per_sec"] = round(1.0 / dt_call, 1)
+                row["iterations"] = int(res.iterations)
+                poses[meth] = np.asarray(res.t)
+            else:
+                row["ms_per_iter_forced20"] = round(dt_call / 20.0 * 1e3, 3)
+        # target build cost (the oct path pays the octant election here)
+        opts = icp.IcpOptions(method=meth)
+        icp.set_target(tgt, opts)  # warm
+        t0 = time.perf_counter()
+        target = icp.set_target(tgt, opts)
+        jax.block_until_ready(target)
+        row["set_target_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        out[meth] = row
+    out["pose_delta_m"] = round(
+        float(np.linalg.norm(poses["p2plane_vox"]
+                             - poses["p2plane_vox_oct"])), 5)
+    return out
 
 
 def bench_scaling_tpu(n_target: int, n_source: int, repeats: int) -> dict:
@@ -796,6 +897,7 @@ def main():
         suite["git_sha"] = "unknown"
     suite["recorded_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
     for name, fn in [
+        ("tunnel_probe", bench_tunnel_probe),
         ("lio_full_log", lambda: bench_lio("icp", frames, cap)),
         ("lio_full_log_vox",
          lambda: bench_lio("icp", frames, cap, icp_method="p2plane_vox")),
@@ -808,6 +910,10 @@ def main():
         ("loc_matching", lambda: bench_loc(frames, cap)),
         ("mapping2d", lambda: bench_mapping2d(80 if not args.quick else 24)),
         ("slam3d_loop", lambda: bench_slam3d(92, min(cap, 2048))),
+        ("matcher_variants",
+         lambda: bench_matcher_variants(65536 if not args.quick else 8192,
+                                        8192 if not args.quick else 2048,
+                                        10 if args.quick else 30)),
         ("throughput_batched",
          lambda: bench_throughput_batched(65536 if not args.quick else 8192,
                                           8192 if not args.quick else 2048,

@@ -44,16 +44,20 @@ def run_mapping2d(xy: np.ndarray, valid: np.ndarray, stamps: np.ndarray,
         poses[k, :2, 3] = t
     trajectory.save_tum(os.path.join(out_dir, "trajectory_tum.txt"),
                         np.asarray(stamps), poses)
+    # global_occupancy() is the one correct source for BOTH engines: the
+    # device-resident engine keeps the LIVE submap's grid in device state,
+    # not in the host Submap record (pipeline/mapping2d_device.py)
+    occ = engine.global_occupancy()
     np.savez(os.path.join(out_dir, "submaps.npz"),
-             counts=np.stack([np.asarray(s.grid.counts) for s in engine.submaps]),
-             theta_ws=np.asarray([s.theta_ws for s in engine.submaps]),
-             t_ws=np.stack([s.t_ws for s in engine.submaps]))
+             counts=np.stack([c for c, _, _ in occ]),
+             theta_ws=np.asarray([th for _, th, _ in occ]),
+             t_ws=np.stack([t for _, _, t in occ]))
     # stitched global occupancy PNG (the reference's ShowGlobalMap OpenCV
     # window, mapping_2d.cpp:186-324, as a run artifact — io/viz.py)
     from ..io import viz
     img = viz.render_occupancy_global(
-        engine.global_occupancy(), resolution=opts.grid.resolution,
-        image_size=opts.grid.image_size, unknown=opts.grid.unknown,
+        occ, resolution=opts.grid.resolution,
+        unknown=opts.grid.unknown,
         traj_xy=np.stack([t for _, t in poses2d]) if poses2d else None)
     viz.write_png(os.path.join(out_dir, "occupancy_global.png"), img)
     report = {"frames": len(poses2d), "submaps": len(engine.submaps),

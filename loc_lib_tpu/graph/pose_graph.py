@@ -417,11 +417,16 @@ def pad_graph(nodes_R, nodes_t, edges: Se3Edges, bucket: int = 16):
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (mp - m, 3, 3))
     R_pad = jnp.concatenate([nodes_R, eye])
     t_pad = jnp.concatenate([nodes_t, jnp.zeros((mp - m, 3), jnp.float32)])
-    k = ep - e
-    pad = Se3Edges(
+    return R_pad, t_pad, concat_edges(edges, make_pad_edges(ep - e)), m
+
+
+def make_pad_edges(k: int) -> Se3Edges:
+    """k invalid identity self-edges (node 0 -> node 0, valid=False): their
+    normal-equation contribution is exactly zero. Shared by pad_graph and
+    slam3d's deterministic edge layout."""
+    return Se3Edges(
         i=jnp.zeros((k,), jnp.int32), j=jnp.zeros((k,), jnp.int32),
         R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (k, 3, 3)),
         t=jnp.zeros((k, 3), jnp.float32),
         info=jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (k, 6, 6)),
         is_loop=jnp.zeros((k,), bool), valid=jnp.zeros((k,), bool))
-    return R_pad, t_pad, concat_edges(edges, pad), m

@@ -55,7 +55,7 @@ def write_png(path: str, img: np.ndarray) -> None:
 # 2D occupancy (the ShowGlobalMap renderer, mapping_2d.cpp:186-324)
 # ---------------------------------------------------------------------------
 
-def render_occupancy_global(submaps, resolution: float, image_size: int,
+def render_occupancy_global(submaps, resolution: float,
                             unknown: int = 127,
                             px_per_m: float | None = None,
                             traj_xy: np.ndarray | None = None) -> np.ndarray:
@@ -75,8 +75,10 @@ def render_occupancy_global(submaps, resolution: float, image_size: int,
         return np.full((8, 8, 3), 200, np.uint8)
     res = px_per_m if px_per_m is not None else resolution
     n = subs[0][0].shape[0]
-    half = n / 2.0 / resolution
-    # world bounds covered by any submap (each spans +-half around t_ws)
+    # world bounds: a submap rotated by theta_ws reaches up to half*sqrt(2)
+    # from t_ws along its diagonals — bound by the rotated corner extent so
+    # no rotated submap content is cropped
+    half = n / 2.0 / resolution * np.sqrt(2.0)
     lo = np.min([t - half for _, _, t in subs], axis=0)
     hi = np.max([t + half for _, _, t in subs], axis=0)
     w = max(int(np.ceil((hi[0] - lo[0]) * res)) + 1, 8)

@@ -128,6 +128,15 @@ class ShardedIcpTarget(NamedTuple):
     overflow: jax.Array       # (mp,)
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _build_icp_shards(xyz, mask, lo, hi, kx, opts: icp.IcpOptions):
+    # module-level jit: an inner closure re-jitted per call would RECOMPILE
+    # on every re-crop (~20 s each on a remote-compile testbed)
+    return jax.vmap(
+        lambda x, m, l, h, k: _build_one_icp_shard(x, m, l, h, k, opts)
+    )(xyz, mask, lo, hi, kx)
+
+
 def set_target_sharded(mesh: Mesh, pc: PointCloud, opts: icp.IcpOptions,
                        shard_capacity: int) -> ShardedIcpTarget:
     """Build the sharded voxel-plane target (method must be p2plane_vox).
@@ -139,13 +148,8 @@ def set_target_sharded(mesh: Mesh, pc: PointCloud, opts: icp.IcpOptions,
     part = partition_slabs(pc, opts.grid_leaf, mp, shard_capacity,
                            halo=1, mode="floor")
 
-    @jax.jit
-    def build(xyz, mask, lo, hi, kx):
-        return jax.vmap(
-            lambda x, m, l, h, k: _build_one_icp_shard(x, m, l, h, k, opts)
-        )(xyz, mask, lo, hi, kx)
-
-    target = build(part.xyz, part.mask, part.lo, part.hi, part.kx)
+    target = _build_icp_shards(part.xyz, part.mask, part.lo, part.hi,
+                               part.kx, opts)
     target = jax.device_put(
         target, jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P("mp")),
                                        target))
@@ -271,6 +275,31 @@ class ShardedNdtMap(NamedTuple):
     overflow: jax.Array
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _build_direct_shards(xyz, mask, opts: ndt.NdtOptions):
+    return jax.vmap(
+        lambda x, m: ndt.build_direct(PointCloud(xyz=x, mask=m), opts)
+    )(xyz, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _build_incremental_shards(xyz, mask, opts: ndt.NdtOptions):
+    def one(x, m):
+        m0 = ndt.empty_incremental(opts)
+        return ndt.update_incremental(m0, PointCloud(xyz=x, mask=m), opts)
+    return jax.vmap(one)(xyz, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _update_incremental_shards(maps: ndt.NdtMap, lo, hi, xyz, mask, vx,
+                               opts: ndt.NdtOptions):
+    def one(m_s, lo_s, hi_s):
+        msk = mask & (vx >= lo_s) & (vx < hi_s)
+        return ndt.update_incremental(m_s, PointCloud(xyz=xyz, mask=msk),
+                                      opts)
+    return jax.vmap(one)(maps, lo, hi)
+
+
 def build_direct_sharded(mesh: Mesh, pc: PointCloud, opts: ndt.NdtOptions,
                          shard_capacity: int) -> ShardedNdtMap:
     """Sharded SetDirectNdtTargetCloud: each shard holds the Gaussian table
@@ -284,13 +313,7 @@ def build_direct_sharded(mesh: Mesh, pc: PointCloud, opts: ndt.NdtOptions,
     part = partition_slabs(pc, opts.voxel_size, mp, shard_capacity,
                            halo=0, mode="trunc")
 
-    @jax.jit
-    def build(xyz, mask):
-        return jax.vmap(
-            lambda x, m: ndt.build_direct(PointCloud(xyz=x, mask=m), opts)
-        )(xyz, mask)
-
-    m = build(part.xyz, part.mask)
+    m = _build_direct_shards(part.xyz, part.mask, opts)
     m = jax.device_put(
         m, jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P("mp")), m))
     return ShardedNdtMap(map=m, lo=part.lo, hi=part.hi, overflow=part.overflow)
@@ -311,14 +334,7 @@ def build_incremental_sharded(mesh: Mesh, pc: PointCloud,
     part = partition_slabs(pc, opts.voxel_size, mp, pc.capacity,
                            halo=0, mode="trunc")
 
-    @jax.jit
-    def build(xyz, mask):
-        def one(x, m):
-            m0 = ndt.empty_incremental(opts)
-            return ndt.update_incremental(m0, PointCloud(xyz=x, mask=m), opts)
-        return jax.vmap(one)(xyz, mask)
-
-    m = build(part.xyz, part.mask)
+    m = _build_incremental_shards(part.xyz, part.mask, opts)
     m = jax.device_put(
         m, jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P("mp")), m))
     return ShardedNdtMap(map=m, lo=part.lo, hi=part.hi, overflow=part.overflow)
@@ -333,15 +349,8 @@ def update_incremental_sharded(mesh: Mesh, sm: ShardedNdtMap, pc: PointCloud,
     inv = 1.0 / opts.voxel_size
     vx = voxel.voxel_coords(pc.xyz, inv, None, "trunc")[:, 0]
 
-    @jax.jit
-    def upd(m, lo, hi):
-        def one(m_s, lo_s, hi_s):
-            mask = pc.mask & (vx >= lo_s) & (vx < hi_s)
-            return ndt.update_incremental(
-                m_s, PointCloud(xyz=pc.xyz, mask=mask), opts)
-        return jax.vmap(one)(m, lo, hi)
-
-    m = upd(sm.map, sm.lo, sm.hi)
+    m = _update_incremental_shards(sm.map, sm.lo, sm.hi, pc.xyz, pc.mask,
+                                   vx, opts)
     m = jax.device_put(
         m, jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P("mp")), m))
     return sm._replace(map=m)

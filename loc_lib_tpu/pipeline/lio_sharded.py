@@ -234,7 +234,10 @@ class LioSharded:
     def live_voxels_per_shard(self) -> np.ndarray:
         """(mp,) live voxel count per shard — each must stay under
         opts.ndt.map_capacity or the shard has started age-evicting (the
-        bounded-working-set behavior, never silent: check this to know)."""
+        bounded-working-set behavior, never silent: check this to know).
+        All zeros before the first scan seeds the map."""
+        if self.sm is None:
+            return np.zeros((self.mesh.shape["mp"],), np.int64)
         keys = np.asarray(self.sm.map.keys)                 # (mp, V)
         return np.sum(keys != voxel_ops.INVALID_KEY, axis=1)
 

@@ -295,7 +295,19 @@ class Slam3d:
 
     @classmethod
     def _bucketed(cls, n: int) -> int:
-        return -(-max(n, 1) // cls._BUCKET) * cls._BUCKET
+        """GEOMETRIC shape buckets: 16, 32, 64, 128... A growing graph then
+        crosses O(log) bucket boundaries instead of O(n/16): each distinct
+        bucket pair is a full solver compile (~20 s on a remote-compile
+        testbed, BENCH_SUITE pgo_warm_compile_s), and linear 16-buckets
+        churned 9 compiles in one 92-frame run — the background warmer
+        could not stay ahead. Padding waste is bounded at 2x, which the
+        block-sparse PCG (cost ∝ padded edges, zeros for invalid rows)
+        absorbs."""
+        b = cls._BUCKET
+        n = max(n, 1)
+        while b < n:
+            b *= 2
+        return b
 
     def _solver_shape(self, num_kfs: int, num_loops: int) -> tuple:
         """(node bucket, loop-edge bucket) — together with the static
@@ -307,18 +319,12 @@ class Slam3d:
 
     @staticmethod
     def _pad_edges(edges: pg.Se3Edges, total: int) -> pg.Se3Edges:
-        """Append invalid identity self-edges (node 0 -> node 0, valid=False)
-        up to `total` rows; contributes nothing to the normal equations."""
+        """Pad with invalid identity self-edges up to `total` rows
+        (pg.make_pad_edges: zero normal-equation contribution)."""
         k = total - int(edges.i.shape[0])
         if k <= 0:
             return edges
-        pad = pg.Se3Edges(
-            i=jnp.zeros((k,), jnp.int32), j=jnp.zeros((k,), jnp.int32),
-            R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (k, 3, 3)),
-            t=jnp.zeros((k, 3), jnp.float32),
-            info=jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (k, 6, 6)),
-            is_loop=jnp.zeros((k,), bool), valid=jnp.zeros((k,), bool))
-        return pg.concat_edges(edges, pad)
+        return pg.concat_edges(edges, pg.make_pad_edges(k))
 
     def _build_edges(self, nb: int, lb: int) -> pg.Se3Edges:
         """Odometry chain padded to nb-1 rows, then loop edges padded to lb
@@ -361,18 +367,22 @@ class Slam3d:
 
         def run():
             t0 = time.perf_counter()
-            nb, lb = shape
-            nodes_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
-                                       (nb, 3, 3))
-            nodes_t = jnp.zeros((nb, 3), jnp.float32)
-            edges = pg.odometry_edges(nodes_R, nodes_t)      # nb-1 rows
-            edges = self._pad_edges(edges, (nb - 1) + lb)
-            nR, nt, e2, _ = pg.pad_graph(nodes_R, nodes_t, edges)
-            out = pg.optimize_two_phase(nR, nt, e2, self.opts.pgo)
-            jax.block_until_ready(out)
-            self.warm_times[shape] = time.perf_counter() - t0
-            self._warmed.add(shape)
-            self._warm_threads.pop(shape, None)
+            try:
+                nb, lb = shape
+                nodes_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                           (nb, 3, 3))
+                nodes_t = jnp.zeros((nb, 3), jnp.float32)
+                edges = pg.odometry_edges(nodes_R, nodes_t)  # nb-1 rows
+                edges = self._pad_edges(edges, (nb - 1) + lb)
+                nR, nt, e2, _ = pg.pad_graph(nodes_R, nodes_t, edges)
+                out = pg.optimize_two_phase(nR, nt, e2, self.opts.pgo)
+                jax.block_until_ready(out)
+                self.warm_times[shape] = time.perf_counter() - t0
+                self._warmed.add(shape)
+            finally:
+                # always clear the in-flight slot: a failed warm (device
+                # error, OOM) must not permanently disable warming the shape
+                self._warm_threads.pop(shape, None)
 
         if background:
             th = threading.Thread(target=run, daemon=True,
@@ -384,13 +394,15 @@ class Slam3d:
 
     def _warm_ahead(self) -> None:
         """Keep the solver executable for the CURRENT and NEXT graph-shape
-        bucket compiled: called at __init__ and per keyframe; the per-shape
-        dedupe set makes this a no-op except when a bucket boundary is
-        crossed (every _BUCKET keyframes / loop edges)."""
+        bucket compiled: called at __init__ and per keyframe (BEFORE this
+        keyframe's loop detection); the per-shape dedupe set makes this a
+        no-op except at bucket crossings. Looks ahead by sc_topk loop
+        edges — one keyframe can accept up to that many at once — so a
+        multi-accept crossing a loop bucket still finds its shape warming."""
         m = max(len(self.kf_R), 1)
         nl = max(len(self.loops), 1)
         self.warm_solver(m, nl)
-        self.warm_solver(m + 1, nl + 1)
+        self.warm_solver(m + 1, nl + max(self.opts.loop.sc_topk, 1))
 
     def optimize(self) -> bool:
         """Two-phase chi2-gated solve + pose write-back + front-end
@@ -401,10 +413,11 @@ class Slam3d:
         m = len(self.kf_R)
         nb, lb = self._solver_shape(m, len(self.loops))
         # if the warm-start compile for this shape is in flight, wait for it
-        # (compiling the same program twice concurrently helps no one)
+        # (compiling the same program twice concurrently helps no one) —
+        # bounded: a hung device must not deadlock the pipeline
         th = self._warm_threads.get((nb, lb))
         if th is not None and th.is_alive():
-            th.join()
+            th.join(timeout=600)
         nodes_R = jnp.asarray(np.stack(self.kf_R), jnp.float32)
         nodes_t = jnp.asarray(np.stack(self.kf_t), jnp.float32)
         edges = self._build_edges(nb, lb)

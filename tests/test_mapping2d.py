@@ -199,16 +199,18 @@ def test_viz_renderers_geometry(tmp_path):
     counts[50, 50] = 137                      # occupied at submap origin
     counts[50, 60] = 117                      # free 1 m +x of origin
     img = viz.render_occupancy_global([(counts, 0.0, np.array([2.0, 1.0]))],
-                                      resolution=res, image_size=n,
-                                      unknown=127)
+                                      resolution=res, unknown=127)
     h, w = img.shape[:2]
-    # world->px: lo = t_ws - half (half = 5 m) -> x=2 at col (2-(-3))*10=50,
-    # y=1 at row h-1-((1-(-4))*10)=h-1-50
-    occ_px = img[h - 1 - 50, 50]
-    free_px = img[h - 1 - 50, 60]
+    # world->px per the renderer's bound: lo = t_ws - (n/2/res)*sqrt(2)
+    half = n / 2.0 / res * np.sqrt(2.0)
+    lo = np.array([2.0, 1.0]) - half
+    col = lambda x: int(np.round((x - lo[0]) * res - 0.5))
+    row = lambda y: (h - 1) - int(np.round((y - lo[1]) * res - 0.5))
+    occ_px = img[row(1.0), col(2.0)]          # occupied at world (2, 1)
+    free_px = img[row(1.0), col(3.0)]         # free 1 m +x of it
     assert occ_px[0] < 100                    # occupied renders dark
     assert free_px[0] > 200                   # free renders light
-    assert img[5, 5][0] == 200                # unknown mid-gray
+    assert img[2, 2][0] == 200                # unknown mid-gray
 
     # top-down: points on a line darken their cells; trajectory draws red
     pts = np.stack([np.linspace(0, 10, 50), np.zeros(50), np.zeros(50)], 1)
