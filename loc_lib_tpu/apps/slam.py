@@ -68,6 +68,12 @@ def run_slam(log: logdir.SensorLog, opts: slam3d.Slam3dOptions,
         viz.render_map_topdown(
             gmap, traj_t=kf[:, :3, 3] if len(kf) else None,
             ref_t=odom[:, :3, 3] if len(odom) else None))
+    # last keyframe's ScanContext descriptor (the reference's OpenCV
+    # dashboard, scan_context.cpp:25-50)
+    if engine.scdb.count > 0:
+        slot = (engine.scdb.count - 1) % engine.scdb.capacity
+        viz.write_png(os.path.join(out_dir, "scan_context.png"),
+                      viz.render_scan_context(engine.scdb.desc[slot]))
     report = {
         "frames": len(odom), "keyframes": len(engine.kf_R),
         "loops": len(engine.loops),

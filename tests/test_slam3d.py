@@ -52,6 +52,9 @@ def test_slam_app_closes_loop(tmp_path):
     assert report["loops"] >= 1
     assert report["loop_inliers"] >= 1
     assert (tmp_path / "out" / "keyframes_optimized_kitti.txt").exists()
+    for png in ("map_topdown.png", "scan_context.png"):
+        p = tmp_path / "out" / png
+        assert p.exists() and p.stat().st_size > 500, png
 
 
 def test_apply_correction_consistency():
