@@ -271,3 +271,35 @@ def test_pad_graph_parity():
     np.testing.assert_allclose(np.asarray(Rp)[m:],
                                np.tile(np.eye(3, dtype=np.float32),
                                        (16 - m, 1, 1)), atol=1e-5)
+
+
+def test_scan_context_topk_retrieval():
+    """detect_loop_topk: lane 0 must equal the 1-best result, distances come
+    back ascending, and lanes past the acceptable matches carry -1/False."""
+    world = synthetic.make_world(num_points=30000, extent=60.0, seed=5)
+    opts = sc.ScanContextOptions(exclude_recent=2, dist_threshold=0.45)
+    db = sc.ScanContextDb(capacity=64, opts=opts)
+    for k, (x, y) in enumerate([(-20.0, -20.0), (-18.0, -20.0), (0.0, 20.0),
+                                (25.0, 5.0), (15.0, -25.0), (5.0, 5.0)]):
+        db.add(synthetic.render_scan(
+            world, np.eye(3, dtype=np.float32),
+            np.array([x, y, 1.5], np.float32), max_range=50.0,
+            max_points=4096, seed=k, capacity=4096))
+    revisit = synthetic.render_scan(world, np.eye(3, dtype=np.float32),
+                                    np.array([-20.0, -20.0, 1.5]),
+                                    max_range=50.0, max_points=4096, seed=99,
+                                    capacity=4096)
+    one = db.query(revisit)
+    topk = db.query_topk(revisit, 4)
+    ids, dist, found = (np.asarray(topk.index), np.asarray(topk.distance),
+                        np.asarray(topk.found))
+    assert ids.shape == (4,)
+    assert bool(found[0]) == bool(one.found)
+    assert int(ids[0]) == int(one.index)
+    assert float(dist[0]) == float(one.distance)
+    fin = dist[np.isfinite(dist)]
+    assert (np.diff(fin) >= 0).all()          # best first
+    # both nearby scans (0 and 1) should appear among the found lanes
+    got = set(ids[found].tolist())
+    assert 0 in got and 1 in got, got
+    assert (ids[~found] == -1).all()
