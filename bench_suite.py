@@ -11,7 +11,8 @@ BASELINE.md measurement plan as a committed artifact, BENCH_SUITE.json:
                         log: scans/s + ATE (plan item 2; ref analog
                         ndt_registration.cpp:262-372 inside Lio).
   3. slam3d_loop      — full SLAM with ScanContext loop closure + two-phase
-                        PGO on a loopy trajectory: ATE + solve time
+                        PGO on a two-lap trajectory: ATE before/after the
+                        solve, warm-started first-call latency
                         (plan item 4; the reference's only PGO is 2D,
                         loop_closing.cpp:160-255).
   4. scaling          — the distributed matcher's device-scaling story:
@@ -21,6 +22,12 @@ BASELINE.md measurement plan as a committed artifact, BENCH_SUITE.json:
                         (b) the virtual-CPU mesh curve for program-partition
                         correctness (this host has ~2 physical cores, so the
                         virtual curve measures partitioning, not speedup).
+
+Round-4 additions: tunnel_probe (RTT honesty for every host-loop row),
+lio_sharded_mapping (the mp-sharded mapping pipeline), matcher_variants
+(exact vs octant-pre-elected election), throughput_batched (B-way
+scan_match_batch aggregate rates), mapping2d pipelined row (the
+device-resident 2D engine), loam pipelined row.
 
 Run: python bench_suite.py [--quick]. Writes BENCH_SUITE.json next to it.
 """
