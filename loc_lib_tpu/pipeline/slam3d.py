@@ -393,16 +393,23 @@ class Slam3d:
             run()
 
     def _warm_ahead(self) -> None:
-        """Keep the solver executable for the CURRENT and NEXT graph-shape
-        bucket compiled: called at __init__ and per keyframe (BEFORE this
-        keyframe's loop detection); the per-shape dedupe set makes this a
-        no-op except at bucket crossings. Looks ahead by sc_topk loop
-        edges — one keyframe can accept up to that many at once — so a
-        multi-accept crossing a loop bucket still finds its shape warming."""
+        """Keep the solver executable for the CURRENT bucket pair AND the
+        next geometric step in each dimension compiled: called at __init__
+        and per keyframe (BEFORE this keyframe's loop detection); the
+        per-shape dedupe set makes this a no-op except at bucket
+        crossings. Launching the NEXT bucket as soon as the current one is
+        entered matters because one solver compile costs ~20 s on a
+        remote-compile testbed while a bucket can be crossed in a few
+        seconds of keyframes (measured: warming only one step ahead left
+        the (64, 128) executable mid-compile exactly when the first big
+        optimize needed it — a 20 s foreground stall)."""
         m = max(len(self.kf_R), 1)
         nl = max(len(self.loops), 1)
-        self.warm_solver(m, nl)
-        self.warm_solver(m + 1, nl + max(self.opts.loop.sc_topk, 1))
+        nb, lb = self._solver_shape(m, nl)
+        self.warm_solver(m, nl)                 # current pair
+        self.warm_solver(m, lb + 1)             # next loop bucket
+        self.warm_solver(nb + 1, nl)            # next node bucket
+        self.warm_solver(nb + 1, lb + 1)        # both crossed
 
     def optimize(self) -> bool:
         """Two-phase chi2-gated solve + pose write-back + front-end
