@@ -362,7 +362,12 @@ class Slam3d:
         pipeline for the solver compile. Wall time lands in
         `self.warm_times[shape]`."""
         shape = self._solver_shape(num_kfs, num_loops)
-        if shape in self._warmed or shape in self._warm_threads:
+        if shape in self._warmed:
+            return
+        th = self._warm_threads.get(shape)
+        if th is not None:
+            if not background:       # foreground = make sure it's ready NOW
+                th.join(timeout=600)
             return
 
         def run():
