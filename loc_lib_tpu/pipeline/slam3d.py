@@ -62,7 +62,9 @@ class LoopOptions:
     use_quality_info: bool = True
     loop_info_min: float = 1e2
     optimize_every: int = 4           # run PGO after this many new loops
-    max_loops: int = 512              # padded loop-edge capacity
+    # Padded loop-edge capacity AND the solver's constant loop bucket
+    # (see Slam3d._solver_shape); oldest edges are dropped at the cap.
+    max_loops: int = 512
     # ScanContext candidates re-registered PER KEYFRAME. 1 = the reference's
     # one-candidate flow; >1 retrieves the top-K descriptor matches and
     # re-registers all surviving candidates in ONE batched device program
@@ -251,7 +253,7 @@ class Slam3d:
             chi2pp = float(chi2_b[k]) / max(n_eff, 1)
             if n_eff < lo.min_effective_pts or chi2pp > lo.max_chi2_per_pt:
                 continue
-            self.loops.append(LoopEdge(
+            self._append_loop(LoopEdge(
                 i=cand, j=kf_id, R=Rb[k].copy(), t=tb[k].copy(),
                 chi2_per_pt=chi2pp, num_effective=n_eff))
             accepted += 1
@@ -285,10 +287,19 @@ class Slam3d:
         # additionally chi2-gated inside the pose graph (optimize_two_phase).
         if n_eff < lo.min_effective_pts or chi2pp > lo.max_chi2_per_pt:
             return False
-        self.loops.append(LoopEdge(i=cand, j=kf_id, R=np.asarray(res.R),
+        self._append_loop(LoopEdge(i=cand, j=kf_id, R=np.asarray(res.R),
                                    t=np.asarray(res.t), chi2_per_pt=chi2pp,
                                    num_effective=n_eff))
         return True
+
+    def _append_loop(self, edge: LoopEdge) -> None:
+        """Bounded loop-edge store (loop.max_loops IS the padded solver
+        capacity): at the cap the OLDEST constraints are dropped — recent
+        loops carry the information about the drift still in the graph."""
+        self.loops.append(edge)
+        cap = self.opts.loop.max_loops
+        if len(self.loops) > cap:
+            self.loops = self.loops[-cap:]
 
     # -- pose-graph optimization ---------------------------------------------
     _BUCKET = 16
@@ -309,13 +320,26 @@ class Slam3d:
             b *= 2
         return b
 
-    def _solver_shape(self, num_kfs: int, num_loops: int) -> tuple:
+    def _solver_shape(self, num_kfs: int, num_loops: int = 0) -> tuple:
         """(node bucket, loop-edge bucket) — together with the static
         PgoOptions these fully determine the compiled solver executable:
         odometry edges are padded to nb-1 and loop edges to lb before
         pad_graph, so the total edge count is a function of the buckets
-        alone (one executable per bucket pair, warmable ahead of time)."""
-        return self._bucketed(num_kfs), self._bucketed(num_loops)
+        alone.
+
+        The loop bucket is CONSTANT at loop.max_loops' bucket: measured on
+        the remote-compile testbed, each distinct solver shape costs
+        20-40 s to compile and the compile service serializes, so a
+        loop-count-dependent bucket churned 6-14 shapes per run and the
+        background warmer could never stay ahead of 3-loops-per-keyframe
+        growth (pgo_first_call_s ~20 s across three attempts). With lb
+        pinned, the executable depends ONLY on the node bucket — nodes
+        grow one per keyframe, so the next shape is always known tens of
+        keyframes in advance. Cost: the PCG iterates over <= max_loops
+        padded loop rows (zeros for invalid) instead of the live count —
+        linear in rows and measured cheap (0.18 s warm solves)."""
+        return (self._bucketed(num_kfs),
+                self._bucketed(self.opts.loop.max_loops))
 
     @staticmethod
     def _pad_edges(edges: pg.Se3Edges, total: int) -> pg.Se3Edges:
@@ -398,23 +422,17 @@ class Slam3d:
             run()
 
     def _warm_ahead(self) -> None:
-        """Keep the solver executable for the CURRENT bucket pair AND the
-        next geometric step in each dimension compiled: called at __init__
-        and per keyframe (BEFORE this keyframe's loop detection); the
-        per-shape dedupe set makes this a no-op except at bucket
-        crossings. Launching the NEXT bucket as soon as the current one is
-        entered matters because one solver compile costs ~20 s on a
-        remote-compile testbed while a bucket can be crossed in a few
-        seconds of keyframes (measured: warming only one step ahead left
-        the (64, 128) executable mid-compile exactly when the first big
-        optimize needed it — a 20 s foreground stall)."""
+        """Keep the solver executable for the CURRENT node bucket AND the
+        next one compiled (the loop bucket is constant, so those are the
+        only two shapes that can be needed): called at __init__ and per
+        keyframe; the per-shape dedupe set makes this a no-op except at
+        node-bucket crossings — nodes grow one per keyframe, so the next
+        bucket's ~20-40 s compile starts a whole bucket-width of keyframes
+        before it can be needed."""
         m = max(len(self.kf_R), 1)
-        nl = max(len(self.loops), 1)
-        nb, lb = self._solver_shape(m, nl)
-        self.warm_solver(m, nl)                 # current pair
-        self.warm_solver(m, lb + 1)             # next loop bucket
-        self.warm_solver(nb + 1, nl)            # next node bucket
-        self.warm_solver(nb + 1, lb + 1)        # both crossed
+        nb, _ = self._solver_shape(m)
+        self.warm_solver(m, 1)                  # current node bucket
+        self.warm_solver(nb + 1, 1)             # next node bucket
 
     def optimize(self) -> bool:
         """Two-phase chi2-gated solve + pose write-back + front-end
