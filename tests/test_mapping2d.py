@@ -212,6 +212,17 @@ def test_viz_renderers_geometry(tmp_path):
     assert free_px[0] > 200                   # free renders light
     assert img[2, 2][0] == 200                # unknown mid-gray
 
+    # rotated submap: occupied cell at submap (1, 0) with theta_ws=+90 deg
+    # must land at world t_ws + (0, 1) — and must not be cropped (the
+    # bounds use the rotated corner extent)
+    c90 = np.full((n, n), 127, np.int64)
+    c90[50, 60] = 137
+    img90 = viz.render_occupancy_global(
+        [(c90, np.pi / 2, np.array([2.0, 1.0]))], resolution=res,
+        unknown=127)
+    h90 = img90.shape[0]
+    assert img90[row(2.0) + (h90 - h), col(2.0)][0] < 100
+
     # top-down: points on a line darken their cells; trajectory draws red
     pts = np.stack([np.linspace(0, 10, 50), np.zeros(50), np.zeros(50)], 1)
     traj = np.stack([np.linspace(0, 10, 8), np.full(8, 2.0), np.zeros(8)], 1)
