@@ -57,13 +57,19 @@ def _rtt_ms(jax) -> float:
     """Device->host round-trip latency RIGHT NOW. The tunnel degrades
     within a session (25 ms healthy -> >1 s hours in, CLAUDE.md), and every
     per-scan host-loop rate is floored by this number — recording it makes
-    the steady rows interpretable."""
+    the steady rows interpretable.
+
+    Each pull must fetch a FRESH device array: device_get of an
+    already-fetched buffer returns jax's cached host copy without touching
+    the wire (the first version of this probe measured 0.0 ms while the
+    host loop right next to it ran at 1.4 s/scan)."""
     import jax.numpy as jnp
-    x = jax.block_until_ready(jnp.ones((64,), jnp.float32) * 2.0)
-    jax.device_get(x)
+    ys = [jax.block_until_ready(jnp.ones((64,), jnp.float32) + i)
+          for i in range(3)]
+    jax.device_get(ys[0] + 0)  # connection warm-up, not timed
     t0 = time.perf_counter()
-    for _ in range(3):
-        jax.device_get(x)
+    for y in ys:
+        jax.device_get(y)
     return round((time.perf_counter() - t0) / 3 * 1e3, 1)
 
 
@@ -589,54 +595,73 @@ def bench_throughput_batched(n_target: int, n_source: int,
     jax.block_until_ready(res)
     single = (time.perf_counter() - t0) / repeats
 
-    out = {}
-    best_b = 1
-    for B in (1, 4, 16, 64):
-        try:
-            bt = icp.set_target_batch(
-                stack([PointCloud(xyz=t.xyz, mask=t.mask)
-                       for t in tgts[:B]]), opts)
-            bs = stack([PointCloud(xyz=s.xyz, mask=s.mask)
-                        for s in srcs[:B]])
-            bR = jnp.asarray(np.stack(R0s[:B]), jnp.float32)
-            bT = jnp.asarray(np.stack(t0s[:B]), jnp.float32)
-            jax.block_until_ready(bt)
-            res = icp.scan_match_batch(bt, opts, bs, bR, bT)
-            jax.block_until_ready(res)
-            t0 = time.perf_counter()
-            for _ in range(repeats):
-                res = icp.scan_match_batch(bt, opts, bs, bR, bT)
-            jax.block_until_ready(res)
-            dt_call = (time.perf_counter() - t0) / repeats
-            # eps=0 disables the convergence flag; assert accuracy instead
-            t_gt = np.stack([traj.R[b].T @ (traj.t[b + 1] - traj.t[b])
-                             for b in range(B)])
-            t_err = float(np.linalg.norm(np.asarray(res.t) - t_gt,
-                                         axis=1).max())
-            out[B] = {
-                "ms_per_call": round(dt_call * 1e3, 2),
-                "aggregate_scans_per_sec": round(B / dt_call, 1),
-                "max_trans_err_m": round(t_err, 4),
-            }
-            # 0.15: the full-size lanes land at ~5 mm; --quick's 2048-pt
-            # lanes sit near 0.11 (sparse 2 m-leaf plane support)
-            assert t_err < 0.15, f"B={B}: lane error {t_err}"
-            best_b = B
-            del bt, bs, res
-        except Exception as e:  # record which B failed, keep earlier rows
-            out[B] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-            break
-    ok = "aggregate_scans_per_sec" in out.get(best_b, {})
+    def sweep(o, tag):
+        rows, best = {}, None
+        for B in (1, 4, 16, 64):
+            try:
+                bt = icp.set_target_batch(
+                    stack([PointCloud(xyz=t.xyz, mask=t.mask)
+                           for t in tgts[:B]]), o)
+                bs = stack([PointCloud(xyz=s.xyz, mask=s.mask)
+                            for s in srcs[:B]])
+                bR = jnp.asarray(np.stack(R0s[:B]), jnp.float32)
+                bT = jnp.asarray(np.stack(t0s[:B]), jnp.float32)
+                jax.block_until_ready(bt)
+                res = icp.scan_match_batch(bt, o, bs, bR, bT)
+                jax.block_until_ready(res)
+                t0 = time.perf_counter()
+                for _ in range(repeats):
+                    res = icp.scan_match_batch(bt, o, bs, bR, bT)
+                jax.block_until_ready(res)
+                dt_call = (time.perf_counter() - t0) / repeats
+                t_gt = np.stack([traj.R[b].T @ (traj.t[b + 1] - traj.t[b])
+                                 for b in range(B)])
+                t_err = float(np.linalg.norm(np.asarray(res.t) - t_gt,
+                                             axis=1).max())
+                rows[str(B)] = {
+                    "ms_per_call": round(dt_call * 1e3, 2),
+                    "aggregate_scans_per_sec": round(B / dt_call, 1),
+                    "max_trans_err_m": round(t_err, 4),
+                }
+                best = rows[str(B)]
+                del bt, bs, res
+            except Exception as e:  # record which B failed, keep the rest
+                rows[str(B)] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+                break
+        return rows, best
+
+    # fixed 20 iterations: every lane does identical work — isolates the
+    # per-iteration throughput question (answer: compute-bound, flat)
+    fixed_rows, fixed_best = sweep(opts, "fixed20")
+    # converged mode (production defaults): lanes stop early, so the
+    # per-CALL overhead is a large fraction and batching amortizes it —
+    # plus each batched call replaces B dispatch+pull round trips, the
+    # dominant cost on a relay-attached device
+    conv_opts = icp.IcpOptions(method="p2plane_vox")
+    t1c = icp.set_target(tgts[0], conv_opts)
+    res = icp.scan_match(t1c, conv_opts, srcs[0],
+                         jnp.asarray(R0s[0], jnp.float32),
+                         jnp.asarray(t0s[0], jnp.float32))
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        res = icp.scan_match(t1c, conv_opts, srcs[0],
+                             jnp.asarray(R0s[0], jnp.float32),
+                             jnp.asarray(t0s[0], jnp.float32))
+    jax.block_until_ready(res)
+    single_conv = (time.perf_counter() - t0) / repeats
+    conv_rows, conv_best = sweep(conv_opts, "converged")
     return {
         "backend": jax.default_backend(),
         "n_target": n_target,
         "n_source": n_source,
-        "single_stream_scans_per_sec": round(1.0 / single, 1),
-        "batched": {str(k): v for k, v in out.items()},
-        "speedup_at_best_b_vs_single": (round(
-            out[best_b]["aggregate_scans_per_sec"] * single, 1) if ok
-            else None),
-        "best_b": best_b if ok else None,
+        "single_stream_scans_per_sec_fixed20": round(1.0 / single, 1),
+        "batched_fixed20": fixed_rows,
+        "single_stream_scans_per_sec_converged": round(1.0 / single_conv, 1),
+        "batched_converged": conv_rows,
+        "speedup_converged_best_vs_single": (round(
+            conv_best["aggregate_scans_per_sec"] * single_conv, 1)
+            if conv_best else None),
     }
 
 
