@@ -35,6 +35,7 @@ vs `Mapping2D` is pinned by tests/test_mapping2d.py.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import NamedTuple
 
 import jax
@@ -43,7 +44,8 @@ import numpy as np
 
 from ..models import grid2d
 from ..utils import lie
-from .mapping2d import Mapping2D, Mapping2dOptions, Submap
+from .mapping2d import Mapping2D, Mapping2dOptions, Submap, \
+    _match_multires_jit
 
 
 class Mapping2dDeviceState(NamedTuple):
@@ -211,9 +213,45 @@ class Mapping2DDevice(Mapping2D):
     the device state."""
 
     def __init__(self, opts: Mapping2dOptions = Mapping2dOptions(),
-                 num_beams: int = 720):
+                 num_beams: int = 720, warm_start: bool = True):
         super().__init__(opts)
         self.dstate = init_state(opts, num_beams=num_beams)
+        # Warm the LOOP-CLOSURE executables ahead of the first attempt (the
+        # 2D analog of slam3d.warm_solver): the multires pyramid match and
+        # the SE(2) PGO compile/cache-load cost ~20 s EACH on a
+        # remote-compile relay, and without warming they land exactly at
+        # the first loop candidate — measured as the dominant term of the
+        # 2D host-loop steady rate (PROFILE §15: per-keyframe loop work
+        # p50 = 0 ms but max = 24.6 s).
+        self._warm_thread = None
+        if warm_start:
+            # non-daemon ON PURPOSE: a daemon thread cancelled mid-XLA at
+            # interpreter exit aborts the process ("FATAL: exception not
+            # rethrown"); a clean exit instead waits for the compile
+            self._warm_thread = threading.Thread(
+                target=self._warm_loop_programs, name="m2d-warm")
+            self._warm_thread.start()
+
+    def _warm_loop_programs(self) -> None:
+        try:
+            from ..graph import pose_graph2d as pg2
+
+            b = self.dstate.recent_xy.shape[1]
+            res = _match_multires_jit(
+                self.dstate.field, self.opts.grid, self.opts.align,
+                self.opts.pyramid_factors,
+                jnp.zeros((b, 2), jnp.float32), jnp.zeros((b,), bool),
+                jnp.float32(0.0), jnp.zeros(2, jnp.float32))
+            jax.block_until_ready(res.theta)
+            m = 16                       # the first pad_graph bucket
+            theta = jnp.zeros((m,), jnp.float32)
+            t = jnp.zeros((m, 2), jnp.float32)
+            edges = pg2.odometry_edges(theta, t)
+            th_p, t_p, e_p, _ = pg2.pad_graph(theta, t, edges)
+            out = pg2.optimize_two_phase(th_p, t_p, e_p, self.opts.pgo)
+            jax.block_until_ready(out[0])
+        except Exception:               # warm-up is best-effort
+            pass
 
     # -- per-scan -----------------------------------------------------------
     def process_scan(self, scan_xy: np.ndarray, valid: np.ndarray):

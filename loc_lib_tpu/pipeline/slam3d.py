@@ -414,8 +414,11 @@ class Slam3d:
                 self._warm_threads.pop(shape, None)
 
         if background:
-            th = threading.Thread(target=run, daemon=True,
-                                  name=f"pgo-warm-{shape}")
+            # non-daemon ON PURPOSE: a daemon thread cancelled mid-XLA at
+            # interpreter exit aborts the whole process ("FATAL: exception
+            # not rethrown"); non-daemon means a clean exit waits for the
+            # in-flight compile instead
+            th = threading.Thread(target=run, name=f"pgo-warm-{shape}")
             self._warm_threads[shape] = th
             th.start()
         else:
