@@ -430,3 +430,49 @@ def make_pad_edges(k: int) -> Se3Edges:
         t=jnp.zeros((k, 3), jnp.float32),
         info=jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32), (k, 6, 6)),
         is_loop=jnp.zeros((k,), bool), valid=jnp.zeros((k,), bool))
+
+
+def odometry_edges_np(poses_R, poses_t, info_scale: float = 1e4) -> Se3Edges:
+    """`odometry_edges` computed in HOST numpy.
+
+    On a relay-attached device, building the graph with eager jnp ops
+    costs a fresh tiny-executable compile for EVERY new pre-pad shape —
+    and the pre-pad edge count changes with every accepted loop, so each
+    optimize call paid seconds of op compiles even with the SOLVER warm
+    (measured 18 s/call on the 2D twin, PROFILE §16). Host numpy builds
+    cost microseconds and the jitted solver ingests the arrays directly."""
+    import numpy as np
+
+    R = np.asarray(poses_R, np.float32)
+    t = np.asarray(poses_t, np.float32)
+    m = len(R)
+    Ri, Rj = R[:-1], R[1:]
+    Rrel = np.einsum("nki,nkj->nij", Ri, Rj)          # R_i^T R_j
+    trel = np.einsum("nji,nj->ni", Ri, t[1:] - t[:-1])
+    info = np.broadcast_to(np.eye(6, dtype=np.float32) * info_scale,
+                           (m - 1, 6, 6))
+    return Se3Edges(
+        i=np.arange(m - 1, dtype=np.int32),
+        j=np.arange(1, m, dtype=np.int32),
+        R=Rrel, t=trel, info=np.ascontiguousarray(info),
+        is_loop=np.zeros((m - 1,), bool), valid=np.ones((m - 1,), bool))
+
+
+def make_pad_edges_np(k: int) -> Se3Edges:
+    """Numpy twin of make_pad_edges (see odometry_edges_np for why)."""
+    import numpy as np
+
+    return Se3Edges(
+        i=np.zeros((k,), np.int32), j=np.zeros((k,), np.int32),
+        R=np.ascontiguousarray(
+            np.broadcast_to(np.eye(3, dtype=np.float32), (k, 3, 3))),
+        t=np.zeros((k, 3), np.float32),
+        info=np.ascontiguousarray(
+            np.broadcast_to(np.eye(6, dtype=np.float32), (k, 6, 6))),
+        is_loop=np.zeros((k,), bool), valid=np.zeros((k,), bool))
+
+
+def concat_edges_np(a: Se3Edges, b: Se3Edges) -> Se3Edges:
+    import numpy as np
+
+    return Se3Edges(*[np.concatenate([x, y]) for x, y in zip(a, b)])

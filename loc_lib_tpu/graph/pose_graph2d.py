@@ -218,6 +218,70 @@ def concat_edges(a: Se2Edges, b: Se2Edges) -> Se2Edges:
     return Se2Edges(*[jnp.concatenate([x, y]) for x, y in zip(a, b)])
 
 
+def build_graph_np(theta, t, loops, info_scale: float = 1e4,
+                   loop_info_scale: float = 1e4, bucket: int = 8):
+    """Whole SE(2) graph build + shape-bucket padding in HOST numpy.
+
+    On a relay-attached device, the eager-jnp build (odometry_edges +
+    concat_edges + pad_graph) compiles a fresh set of tiny executables for
+    every new PRE-pad shape — and the pre-pad edge count changes with
+    every accepted loop, so each Mapping2D.optimize call paid ~18 s of op
+    compiles even though the bucketed solver itself was cached (measured,
+    PROFILE §16). Host numpy costs microseconds; the jitted solver ingests
+    the arrays directly.
+
+    `loops`: iterable of (i, j, theta_ij, t_ij, valid). Returns
+    (theta_pad, t_pad, Se2Edges-of-numpy, m_real) with shapes identical
+    to odometry_edges + concat_edges + pad_graph."""
+    import numpy as np
+
+    theta = np.asarray(theta, np.float32)
+    t = np.asarray(t, np.float32)
+    m = len(theta)
+    i = np.arange(m - 1, dtype=np.int32)
+    j = i + 1
+    c, s = np.cos(theta[i]), np.sin(theta[i])
+    d = t[j] - t[i]
+    rel_t = np.stack([c * d[:, 0] + s * d[:, 1],
+                      -s * d[:, 0] + c * d[:, 1]], axis=-1)
+    rel_th = ((theta[j] - theta[i] + np.pi) % (2 * np.pi) - np.pi)
+    n_loop = len(loops)
+    e = (m - 1) + n_loop
+    mp = -(-m // bucket) * bucket
+    ep = -(-e // bucket) * bucket
+    k = ep - e
+
+    ei = np.concatenate([i, np.array([l[0] for l in loops], np.int32),
+                         np.zeros((k,), np.int32)])
+    ej = np.concatenate([j, np.array([l[1] for l in loops], np.int32),
+                         np.zeros((k,), np.int32)])
+    eth = np.concatenate([rel_th.astype(np.float32),
+                          np.array([l[2] for l in loops], np.float32),
+                          np.zeros((k,), np.float32)])
+    et = np.concatenate([rel_t.astype(np.float32),
+                         (np.stack([l[3] for l in loops]).astype(np.float32)
+                          if n_loop else np.zeros((0, 2), np.float32)),
+                         np.zeros((k, 2), np.float32)])
+    info = np.concatenate([
+        np.broadcast_to(np.eye(3, dtype=np.float32) * info_scale,
+                        (m - 1, 3, 3)),
+        np.broadcast_to(np.eye(3, dtype=np.float32) * loop_info_scale,
+                        (n_loop, 3, 3)),
+        np.broadcast_to(np.eye(3, dtype=np.float32), (k, 3, 3))])
+    is_loop = np.concatenate([np.zeros((m - 1,), bool),
+                              np.ones((n_loop,), bool),
+                              np.zeros((k,), bool)])
+    valid = np.concatenate([np.ones((m - 1,), bool),
+                            np.array([bool(l[4]) for l in loops], bool),
+                            np.zeros((k,), bool)])
+    theta_pad = np.concatenate([theta, np.zeros((mp - m,), np.float32)])
+    t_pad = np.concatenate([t, np.zeros((mp - m, 2), np.float32)])
+    edges = Se2Edges(i=ei, j=ej, theta=eth, t=np.ascontiguousarray(et),
+                     info=np.ascontiguousarray(info), is_loop=is_loop,
+                     valid=valid)
+    return theta_pad, t_pad, edges, m
+
+
 def pad_graph(theta, t, edges: Se2Edges, bucket: int = 8):
     """Pad nodes and edges up to the next multiple of `bucket` (the SE(2)
     analog of pose_graph.pad_graph): caps shape-driven recompiles of the

@@ -387,23 +387,15 @@ class Mapping2D:
         m = len(self.submaps)
         if m < 2 or not self.loops:
             return
-        theta = jnp.asarray([s.theta_ws for s in self.submaps], jnp.float32)
-        t = jnp.asarray(np.stack([s.t_ws for s in self.submaps]), jnp.float32)
-        edges = pg2.odometry_edges(theta, t)
-        li = jnp.asarray([l.submap_i for l in self.loops], jnp.int32)
-        lj = jnp.asarray([l.submap_j for l in self.loops], jnp.int32)
-        lth = jnp.asarray([l.theta_ij for l in self.loops], jnp.float32)
-        lt = jnp.asarray(np.stack([l.t_ij for l in self.loops]), jnp.float32)
-        loops = pg2.Se2Edges(
-            i=li, j=lj, theta=lth, t=lt,
-            info=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 1e4,
-                                  (len(self.loops), 3, 3)),
-            is_loop=jnp.ones((len(self.loops),), bool),
-            valid=jnp.asarray([l.valid for l in self.loops]))
-        edges = pg2.concat_edges(edges, loops)
-        # pad to shape buckets: without it every new submap recompiles the
-        # solver (tens of seconds per compile on a remote-compile testbed)
-        theta_p, t_p, edges_p, _ = pg2.pad_graph(theta, t, edges)
+        # graph build + padding in HOST numpy (pg2.build_graph_np): eager
+        # jnp builds recompiled tiny executables for every new pre-pad
+        # shape on the relay — measured ~18 s PER OPTIMIZE even with the
+        # bucketed solver cached (PROFILE §16)
+        theta_p, t_p, edges_p, _ = pg2.build_graph_np(
+            [s.theta_ws for s in self.submaps],
+            np.stack([s.t_ws for s in self.submaps]),
+            [(l.submap_i, l.submap_j, l.theta_ij, l.t_ij, l.valid)
+             for l in self.loops])
         th2, t2, inlier = pg2.optimize_two_phase(theta_p, t_p, edges_p,
                                                  self.opts.pgo)
         th2, t2 = np.asarray(th2)[:m], np.asarray(t2)[:m]

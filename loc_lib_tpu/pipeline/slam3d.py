@@ -343,38 +343,40 @@ class Slam3d:
 
     @staticmethod
     def _pad_edges(edges: pg.Se3Edges, total: int) -> pg.Se3Edges:
-        """Pad with invalid identity self-edges up to `total` rows
-        (pg.make_pad_edges: zero normal-equation contribution)."""
-        k = total - int(edges.i.shape[0])
+        """Pad with invalid identity self-edges up to `total` rows, in HOST
+        numpy (eager jnp builds recompile per pre-pad shape on a
+        remote-compile relay — pg.odometry_edges_np)."""
+        k = total - int(len(edges.i))
         if k <= 0:
             return edges
-        return pg.concat_edges(edges, pg.make_pad_edges(k))
+        return pg.concat_edges_np(edges, pg.make_pad_edges_np(k))
 
     def _build_edges(self, nb: int, lb: int) -> pg.Se3Edges:
         """Odometry chain padded to nb-1 rows, then loop edges padded to lb
         rows — the deterministic layout `_solver_shape` promises. Loop
-        edges therefore always occupy rows [nb-1, nb-1+len(self.loops))."""
+        edges therefore always occupy rows [nb-1, nb-1+len(self.loops)).
+        Built entirely in host numpy; only the bucketed solver program
+        ever touches the device."""
         lo = self.opts.loop
-        nodes_R = jnp.asarray(np.stack(self.kf_R), jnp.float32)
-        nodes_t = jnp.asarray(np.stack(self.kf_t), jnp.float32)
-        edges = pg.odometry_edges(nodes_R, nodes_t,
-                                  info_scale=lo.odom_info_scale)
+        edges = pg.odometry_edges_np(np.stack(self.kf_R),
+                                     np.stack(self.kf_t),
+                                     info_scale=lo.odom_info_scale)
         edges = self._pad_edges(edges, nb - 1)
         if self.loops:
-            li = jnp.asarray([l.i for l in self.loops], jnp.int32)
-            lj = jnp.asarray([l.j for l in self.loops], jnp.int32)
-            lR = jnp.asarray(np.stack([l.R for l in self.loops]), jnp.float32)
-            lt = jnp.asarray(np.stack([l.t for l in self.loops]), jnp.float32)
             scales = np.array(
                 [loop_edge_info(l.num_effective, l.chi2_per_pt, lo)
                  for l in self.loops], np.float32)
-            info = (jnp.eye(6, dtype=jnp.float32)[None]
-                    * jnp.asarray(scales)[:, None, None])
+            info = (np.eye(6, dtype=np.float32)[None]
+                    * scales[:, None, None])
             loop_edges = pg.Se3Edges(
-                i=li, j=lj, R=lR, t=lt, info=info,
-                is_loop=jnp.ones((len(self.loops),), bool),
-                valid=jnp.ones((len(self.loops),), bool))
-            edges = pg.concat_edges(edges, loop_edges)
+                i=np.array([l.i for l in self.loops], np.int32),
+                j=np.array([l.j for l in self.loops], np.int32),
+                R=np.stack([l.R for l in self.loops]).astype(np.float32),
+                t=np.stack([l.t for l in self.loops]).astype(np.float32),
+                info=info,
+                is_loop=np.ones((len(self.loops),), bool),
+                valid=np.ones((len(self.loops),), bool))
+            edges = pg.concat_edges_np(edges, loop_edges)
         return self._pad_edges(edges, (nb - 1) + lb)
 
     def warm_solver(self, num_kfs: int, num_loops: int,
@@ -398,13 +400,14 @@ class Slam3d:
             t0 = time.perf_counter()
             try:
                 nb, lb = shape
-                nodes_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
-                                           (nb, 3, 3))
-                nodes_t = jnp.zeros((nb, 3), jnp.float32)
-                edges = pg.odometry_edges(nodes_R, nodes_t)  # nb-1 rows
+                nodes_R = np.broadcast_to(np.eye(3, dtype=np.float32),
+                                          (nb, 3, 3))
+                nodes_t = np.zeros((nb, 3), np.float32)
+                edges = pg.odometry_edges_np(nodes_R, nodes_t)  # nb-1 rows
                 edges = self._pad_edges(edges, (nb - 1) + lb)
-                nR, nt, e2, _ = pg.pad_graph(nodes_R, nodes_t, edges)
-                out = pg.optimize_two_phase(nR, nt, e2, self.opts.pgo)
+                edges = self._pad_edges(edges, -(-((nb - 1) + lb) // 16) * 16)
+                out = pg.optimize_two_phase(nodes_R, nodes_t, edges,
+                                            self.opts.pgo)
                 jax.block_until_ready(out)
                 self.warm_times[shape] = time.perf_counter() - t0
                 self._warmed.add(shape)
@@ -451,13 +454,22 @@ class Slam3d:
         th = self._warm_threads.get((nb, lb))
         if th is not None and th.is_alive():
             th.join(timeout=600)
-        nodes_R = jnp.asarray(np.stack(self.kf_R), jnp.float32)
-        nodes_t = jnp.asarray(np.stack(self.kf_t), jnp.float32)
         edges = self._build_edges(nb, lb)
-        # node padding to nb + edge-count rounding: deterministic given
-        # (nb, lb), so warm_solver compiles the exact executable
-        nodes_R, nodes_t, edges, m_real = pg.pad_graph(nodes_R, nodes_t,
-                                                       edges)
+        # node padding to nb + edge-count rounding to a multiple of 16:
+        # deterministic given (nb, lb), so warm_solver compiles the exact
+        # executable. ALL in host numpy — the jitted solver below is the
+        # only device program (eager graph-building ops recompiled per
+        # pre-pad shape on the relay: ~18 s per optimize measured on the
+        # SE(2) twin).
+        edges = self._pad_edges(edges, -(-((nb - 1) + lb) // 16) * 16)
+        pad_n = nb - m
+        nodes_R = np.concatenate([
+            np.stack(self.kf_R).astype(np.float32),
+            np.broadcast_to(np.eye(3, dtype=np.float32), (pad_n, 3, 3))])
+        nodes_t = np.concatenate([
+            np.stack(self.kf_t).astype(np.float32),
+            np.zeros((pad_n, 3), np.float32)])
+        m_real = m
         R_opt, t_opt, inliers = pg.optimize_two_phase(
             nodes_R, nodes_t, edges, self.opts.pgo)
         R_opt = np.asarray(R_opt)[:m_real]
