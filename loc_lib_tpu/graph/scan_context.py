@@ -152,6 +152,17 @@ def detect_loop(query_desc: jax.Array, db_desc: jax.Array, db_keys: jax.Array,
                       found=res.found[0])
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _db_insert(desc_db, key_db, id_db, xyz, mask, slot, insert_id,
+               opts: ScanContextOptions):
+    """Descriptor + ring key computed and scattered into the device-resident
+    ring buffer as ONE fixed-shape program (no host round trip)."""
+    d = descriptor(PointCloud(xyz=xyz, mask=mask), opts)
+    return (desc_db.at[slot].set(d),
+            key_db.at[slot].set(ring_key(d)),
+            id_db.at[slot].set(insert_id))
+
+
 class ScanContextDb:
     """Host-side descriptor database (the key-frame DB the reference never
     wrote, scan_context.hpp:83-90).
@@ -165,40 +176,38 @@ class ScanContextDb:
 
     def __init__(self, capacity: int = 4096,
                  opts: ScanContextOptions = ScanContextOptions()):
-        import numpy as np
-
         self.opts = opts
         self.capacity = capacity
-        self.desc = np.zeros((capacity, opts.num_ring, opts.num_sector), np.float32)
-        self.keys = np.zeros((capacity, opts.num_ring), np.float32)
-        self.ids = np.full((capacity,), -1, np.int32)
+        # DEVICE-RESIDENT buffers: a numpy DB re-uploaded per query costs a
+        # capacity x R x S transfer (19.6 MB at the 4096 default) on EVERY
+        # keyframe over the relay; keeping the ring buffer on device makes
+        # add() one fixed-shape scatter and query() transfer one descriptor
+        self.desc = jnp.zeros((capacity, opts.num_ring, opts.num_sector),
+                              jnp.float32)
+        self.keys = jnp.zeros((capacity, opts.num_ring), jnp.float32)
+        self.ids = jnp.full((capacity,), -1, jnp.int32)
         self.count = 0        # total descriptors ever inserted
         self.evicted = 0      # descriptors overwritten after saturation
 
     def add(self, pc: PointCloud) -> int:
-        import numpy as np
-
-        d = descriptor(pc, self.opts)
         slot = self.count % self.capacity
-        if self.ids[slot] >= 0:
+        if self.count >= self.capacity:
             self.evicted += 1
-        self.desc[slot] = np.asarray(d)
-        self.keys[slot] = np.asarray(ring_key(d))
-        self.ids[slot] = self.count
+        self.desc, self.keys, self.ids = _db_insert(
+            self.desc, self.keys, self.ids, pc.xyz, pc.mask,
+            jnp.int32(slot), jnp.int32(self.count), self.opts)
         self.count += 1
         return self.count - 1
 
     def query(self, pc: PointCloud) -> LoopResult:
         q = descriptor(pc, self.opts)
-        return detect_loop(q, jnp.asarray(self.desc), jnp.asarray(self.keys),
-                           jnp.asarray(self.ids), jnp.int32(self.count),
-                           self.opts)
+        return detect_loop(q, self.desc, self.keys,
+                           self.ids, jnp.int32(self.count), self.opts)
 
     def query_topk(self, pc: PointCloud, topk: int) -> LoopResult:
         """Top-`topk` matches, best first (leading (topk,) axis on every
         LoopResult array; unmatched lanes carry index=-1/found=False)."""
         q = descriptor(pc, self.opts)
-        return detect_loop_topk(q, jnp.asarray(self.desc),
-                                jnp.asarray(self.keys),
-                                jnp.asarray(self.ids), jnp.int32(self.count),
+        return detect_loop_topk(q, self.desc, self.keys,
+                                self.ids, jnp.int32(self.count),
                                 self.opts, topk=topk)

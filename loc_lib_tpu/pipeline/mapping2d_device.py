@@ -280,13 +280,18 @@ class Mapping2DDevice(Mapping2D):
     # -- submap lifecycle ---------------------------------------------------
     def _expand_device(self) -> None:
         """Archive the device grid into the current host Submap record, then
-        re-seed the device state as the new submap (ExpandSubmap analog)."""
+        re-seed the device state as the new submap (ExpandSubmap analog).
+
+        ZERO-COPY archive: jax arrays are immutable, so the current device
+        buffers simply BECOME the archived submap's grid/field — expand_state
+        produces fresh arrays for the new submap and nothing crosses the
+        wire (the eager pull cost ~1 s per expansion on the relay).
+        Archived submaps keep ~9 MB of HBM each; loop re-registration reads
+        the field in place, exports pull counts once at artifact time."""
         cur = self.submaps[-1]
-        counts, touched, field = jax.device_get(
-            (self.dstate.counts, self.dstate.touched, self.dstate.field))
-        cur.grid = grid2d.OccupancyGrid(counts=jnp.asarray(counts),
-                                        touched=jnp.asarray(touched))
-        cur.field = jnp.asarray(field)
+        cur.grid = grid2d.OccupancyGrid(counts=self.dstate.counts,
+                                        touched=self.dstate.touched)
+        cur.field = self.dstate.field
         new = Submap(self.opts, self.theta_wb, self.t_wb, len(self.submaps))
         new.num_frames = 1
         self.submaps.append(new)
