@@ -219,7 +219,7 @@ def concat_edges(a: Se2Edges, b: Se2Edges) -> Se2Edges:
 
 
 def build_graph_np(theta, t, loops, info_scale: float = 1e4,
-                   loop_info_scale: float = 1e4, bucket: int = 8):
+                   loop_info_scale: float = 1e4):
     """Whole SE(2) graph build + shape-bucket padding in HOST numpy.
 
     On a relay-attached device, the eager-jnp build (odometry_edges +
@@ -231,8 +231,14 @@ def build_graph_np(theta, t, loops, info_scale: float = 1e4,
     the arrays directly.
 
     `loops`: iterable of (i, j, theta_ij, t_ij, valid). Returns
-    (theta_pad, t_pad, Se2Edges-of-numpy, m_real) with shapes identical
-    to odometry_edges + concat_edges + pad_graph."""
+    (theta_pad, t_pad, Se2Edges-of-numpy, m_real).
+
+    Shapes are COARSE geometric buckets (nodes >= 32, edges >= 64, then
+    doubling): a submap graph is tens of nodes, the dense solve is trivial
+    at this scale, and each distinct solver shape costs ~20 s to compile
+    on a remote-compile relay — one executable covers almost every 2D
+    session and can be warmed at engine init
+    (mapping2d_device._warm_loop_programs)."""
     import numpy as np
 
     theta = np.asarray(theta, np.float32)
@@ -247,8 +253,11 @@ def build_graph_np(theta, t, loops, info_scale: float = 1e4,
     rel_th = ((theta[j] - theta[i] + np.pi) % (2 * np.pi) - np.pi)
     n_loop = len(loops)
     e = (m - 1) + n_loop
-    mp = -(-m // bucket) * bucket
-    ep = -(-e // bucket) * bucket
+    mp, ep = 32, 64
+    while mp < m:
+        mp *= 2
+    while ep < e:
+        ep *= 2
     k = ep - e
 
     ei = np.concatenate([i, np.array([l[0] for l in loops], np.int32),

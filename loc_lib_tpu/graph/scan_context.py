@@ -152,11 +152,14 @@ def detect_loop(query_desc: jax.Array, db_desc: jax.Array, db_keys: jax.Array,
                       found=res.found[0])
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
+@functools.partial(jax.jit, static_argnames=("opts",),
+                   donate_argnums=(0, 1, 2))
 def _db_insert(desc_db, key_db, id_db, xyz, mask, slot, insert_id,
                opts: ScanContextOptions):
     """Descriptor + ring key computed and scattered into the device-resident
-    ring buffer as ONE fixed-shape program (no host round trip)."""
+    ring buffer as ONE fixed-shape program (no host round trip); the DB
+    buffers are DONATED so the scatter is in place — without donation each
+    insert copies the full capacity x R x S table (19.6 MB default)."""
     d = descriptor(PointCloud(xyz=xyz, mask=mask), opts)
     return (desc_db.at[slot].set(d),
             key_db.at[slot].set(ring_key(d)),

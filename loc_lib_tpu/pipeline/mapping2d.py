@@ -79,6 +79,10 @@ class Mapping2dOptions:
     pgo: PgoOptions = PgoOptions(solver="dense")
     # multi-res pyramid: coarse-to-fine pooling factors over the base field
     pyramid_factors: tuple = (8, 4, 2, 1)
+    # Device-resident engine only: how many ARCHIVED submaps keep their
+    # grid/field in HBM (~9 MB each; zero-copy archive). Older archives
+    # spill to host numpy and re-upload if a loop candidate matches them.
+    archived_device_submaps: int = 12
 
 
 # Host-side SE(2) bookkeeping in plain numpy: these are 3-DoF scalar ops,

@@ -243,11 +243,11 @@ class Mapping2DDevice(Mapping2D):
                 jnp.zeros((b, 2), jnp.float32), jnp.zeros((b,), bool),
                 jnp.float32(0.0), jnp.zeros(2, jnp.float32))
             jax.block_until_ready(res.theta)
-            m = 16                       # the first pad_graph bucket
-            theta = jnp.zeros((m,), jnp.float32)
-            t = jnp.zeros((m, 2), jnp.float32)
-            edges = pg2.odometry_edges(theta, t)
-            th_p, t_p, e_p, _ = pg2.pad_graph(theta, t, edges)
+            # the EXACT solver shape build_graph_np produces for any
+            # session up to 32 submaps / 64 edges (its minimum buckets)
+            th_p, t_p, e_p, _ = pg2.build_graph_np(
+                np.zeros(2, np.float32), np.zeros((2, 2), np.float32),
+                [(0, 1, 0.0, np.zeros(2, np.float32), True)])
             out = pg2.optimize_two_phase(th_p, t_p, e_p, self.opts.pgo)
             jax.block_until_ready(out[0])
         except Exception:               # warm-up is best-effort
@@ -297,6 +297,17 @@ class Mapping2DDevice(Mapping2D):
         self.submaps.append(new)
         self.dstate = expand_state(self.dstate, self.opts)
         jax.block_until_ready(self.dstate.field)
+        # bounded HBM: beyond the device budget the OLDEST archives spill
+        # to host numpy (one pull each; re-uploaded transparently if a loop
+        # candidate ever matches them again) — a long run would otherwise
+        # pin ~9 MB of HBM per submap forever
+        budget = self.opts.archived_device_submaps
+        for sm in self.submaps[:-1][:-budget] if budget > 0 else []:
+            if isinstance(sm.field, jax.Array):
+                sm.grid = grid2d.OccupancyGrid(
+                    counts=np.asarray(sm.grid.counts),
+                    touched=np.asarray(sm.grid.touched))
+                sm.field = np.asarray(sm.field)
 
     # -- pose-graph write-back ----------------------------------------------
     def optimize(self):

@@ -303,3 +303,63 @@ def test_scan_context_topk_retrieval():
     got = set(ids[found].tolist())
     assert 0 in got and 1 in got, got
     assert (ids[~found] == -1).all()
+
+
+def test_numpy_graph_builders_match_jnp():
+    """The host-numpy graph builders (pose_graph.odometry_edges_np,
+    pose_graph2d.build_graph_np) are hand-written twins of the jnp
+    originals (kept to avoid the relay's per-shape eager-op compile tax,
+    PROFILE §16) — pin them equal, per the repo's oracle convention."""
+    import numpy as np
+    from loc_lib_tpu.graph import pose_graph2d as pg2
+
+    rng = np.random.default_rng(4)
+    m = 9
+    R = np.stack([np.asarray(lie.so3_exp(jnp.asarray(
+        0.3 * rng.standard_normal(3), jnp.float32))) for _ in range(m)])
+    t = rng.standard_normal((m, 3)).astype(np.float32)
+    a = pg.odometry_edges(jnp.asarray(R), jnp.asarray(t))
+    b = pg.odometry_edges_np(R, t)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+    # SE(2): build_graph_np vs odometry_edges + concat_edges + manual pad
+    theta = (0.4 * rng.standard_normal(7)).astype(np.float32)
+    t2 = rng.standard_normal((7, 2)).astype(np.float32)
+    loops = [(0, 5, 0.2, np.array([0.3, -0.1], np.float32), True),
+             (1, 6, -0.1, np.array([-0.2, 0.4], np.float32), False)]
+    th_p, t_p, edges_np, m_real = pg2.build_graph_np(theta, t2, loops)
+    assert m_real == 7 and th_p.shape == (32,) and len(edges_np.i) == 64
+    ref = pg2.odometry_edges(jnp.asarray(theta), jnp.asarray(t2))
+    n_odo = 6
+    for name, ours, theirs in (
+            ("i", edges_np.i[:n_odo], ref.i), ("j", edges_np.j[:n_odo], ref.j),
+            ("theta", edges_np.theta[:n_odo], ref.theta),
+            ("t", edges_np.t[:n_odo], ref.t),
+            ("info", edges_np.info[:n_odo], ref.info)):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs),
+                                   atol=1e-6, err_msg=name)
+    # loop rows land after the odometry chain with their given payloads
+    np.testing.assert_allclose(edges_np.theta[n_odo:n_odo + 2], [0.2, -0.1])
+    assert edges_np.is_loop[n_odo:n_odo + 2].all()
+    assert bool(edges_np.valid[n_odo]) and not bool(edges_np.valid[n_odo + 1])
+    assert not edges_np.valid[n_odo + 2:].any()       # padding invalid
+    # padded nodes are identity
+    np.testing.assert_array_equal(th_p[7:], 0.0)
+
+    # and the solves agree: numpy-built graph vs jnp-built graph
+    all_e = pg2.concat_edges(ref, pg2.Se2Edges(
+        i=jnp.asarray(edges_np.i[n_odo:n_odo + 2]),
+        j=jnp.asarray(edges_np.j[n_odo:n_odo + 2]),
+        theta=jnp.asarray(edges_np.theta[n_odo:n_odo + 2]),
+        t=jnp.asarray(edges_np.t[n_odo:n_odo + 2]),
+        info=jnp.asarray(edges_np.info[n_odo:n_odo + 2]),
+        is_loop=jnp.ones((2,), bool),
+        valid=jnp.asarray([True, False])))
+    r_j = pg2.optimize(jnp.asarray(theta), jnp.asarray(t2), all_e)
+    r_n = pg2.optimize(jnp.asarray(th_p), jnp.asarray(t_p), edges_np,
+                       num_nodes=32)
+    np.testing.assert_allclose(np.asarray(r_j.t), np.asarray(r_n.t)[:7],
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_j.theta),
+                               np.asarray(r_n.theta)[:7], atol=2e-4)
