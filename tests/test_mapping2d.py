@@ -301,3 +301,30 @@ def test_mapping2d_device_matches_host_driven():
     assert float(np.sqrt(np.mean(np.square(err)))) < 0.08
     # exported stitched map covers every submap incl. the device-resident one
     assert len(dev.global_occupancy()) == len(dev.submaps)
+
+
+@pytest.mark.slow
+def test_mapping2d_device_spilled_archives_still_close_loops():
+    """With archived_device_submaps=1, every archive beyond the newest
+    spills its grid/field to host numpy (the HBM cap) — loop candidates
+    matched against SPILLED submaps must still re-register and close."""
+    from loc_lib_tpu.pipeline import mapping2d_device as m2dd
+
+    world = synthetic.make_world_2d(extent=10.0, seed=2)
+    frames = 64
+    opts = mapping2d.Mapping2dOptions(max_keyframes_in_submap=16,
+                                      archived_device_submaps=1)
+    eng = m2dd.Mapping2DDevice(opts)
+    errs = []
+    for k in range(frames):
+        a = 2.0 * np.pi * k / frames
+        t = np.array([4 * np.cos(a) - 4, 4 * np.sin(a)], np.float32)
+        xy, valid = synthetic.render_scan_2d(world, a, t, seed=k)
+        th, est = eng.process_scan(xy, valid)
+        errs.append(np.linalg.norm(est - t))
+    # archives actually spilled (numpy fields beyond the newest)
+    spilled = [s for s in eng.submaps[:-1]
+               if isinstance(s.field, np.ndarray)]
+    assert len(spilled) >= 2, [type(s.field) for s in eng.submaps]
+    assert sum(1 for l in eng.loops if l.valid) >= 1
+    assert float(np.sqrt(np.mean(np.square(errs)))) < 0.1
