@@ -149,22 +149,25 @@ def _merge_neighbor_moments(keys, count, mean, cov, dense, dims):
 
 
 def _merged_moments(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
-                    dense: voxel.DenseIndex):
+                    dense: voxel.DenseIndex, stats=None):
     """Neighbor-merged Gaussian moments per voxel (VGICP-style): voxel
     first/second moments by segment reduce, then each voxel merges the
     count-weighted moments of itself + its 6 face neighbors (so local
     geometry stays continuous across voxel borders and reaches the
     reference's >=5-point support even in sparse cells). Table rows align
-    with grid.voxel_keys slots. Returns (n, mu, cov, keys)."""
-    stats = voxel.voxel_stats(pc, opts.grid_leaf, origin=grid.origin,
-                              mode="floor")
+    with grid.voxel_keys slots. Pass `stats` to reuse the key sort the
+    grid build already paid (voxel.build_hash_grid_with_stats).
+    Returns (n, mu, cov, keys)."""
+    if stats is None:
+        stats = voxel.voxel_stats(pc, opts.grid_leaf, origin=grid.origin,
+                                  mode="floor")
     n, mu, cov = _merge_neighbor_moments(stats.keys, stats.count, stats.mean,
                                          stats.cov, dense, opts.dense_dims)
     return n, mu, cov, stats.keys
 
 
 def _build_line_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
-                      dense: voxel.DenseIndex):
+                      dense: voxel.DenseIndex, stats=None):
     """Per-voxel LINE from the merged moments: direction = principal
     eigenvector; a voxel carries a line only when that direction dominates
     the cross-section (line_ratio) with >= plane_min_pts support (the
@@ -174,7 +177,7 @@ def _build_line_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
     projector): e^T (I - dd^T) e is exactly the squared line distance
     |d x (qs - mu)|^2, so gate, residual, Jacobian and H/b all reduce to
     the generalized-Gaussian form."""
-    n, mu, cov, keys = _merged_moments(pc, grid, opts, dense)
+    n, mu, cov, keys = _merged_moments(pc, grid, opts, dense, stats)
     vals, vecs = mathx.eigh_sym3x3(cov)
     d = vecs[..., :, 2]                                         # principal
     valid = ((n >= opts.plane_min_pts)
@@ -218,10 +221,10 @@ def _planes_from_moments(n, mu, cov, keys, opts: IcpOptions):
 
 
 def _build_plane_table(pc: PointCloud, grid: voxel.HashGrid, opts: IcpOptions,
-                       dense: voxel.DenseIndex):
+                       dense: voxel.DenseIndex, stats=None):
     """Per-voxel plane from neighbor-merged Gaussian moments (VGICP-style):
     normal = smallest eigenvector of the merged covariance."""
-    n, mu, cov, keys = _merged_moments(pc, grid, opts, dense)
+    n, mu, cov, keys = _merged_moments(pc, grid, opts, dense, stats)
     return _planes_from_moments(n, mu, cov, keys, opts)
 
 
@@ -331,16 +334,24 @@ def _masked_centroid(pc: PointCloud) -> jax.Array:
 def set_target(pc: PointCloud, opts: IcpOptions, origin=None) -> IcpTarget:
     """Build the search structure over the target cloud
     (SetInputTarget, icp_registration.cpp:9-29)."""
-    grid = voxel.build_hash_grid(pc, opts.grid_leaf, opts.bucket_size, origin)
     cen = _masked_centroid(pc)
     if opts.method not in ("p2plane_vox", "p2plane_vox_oct", "p2line_vox"):
+        grid = voxel.build_hash_grid(pc, opts.grid_leaf, opts.bucket_size,
+                                     origin)
         return IcpTarget(grid=grid, centroid=cen)
+    # vox targets: the grid and the per-voxel Gaussians share floor binning
+    # and the same origin, so ONE key sort feeds both explicitly (XLA CSE
+    # already merged the duplicates inside this jit; see voxel.py)
+    grid, stats = voxel.build_hash_grid_with_stats(
+        pc, opts.grid_leaf, opts.bucket_size, origin)
     dense = voxel.build_dense_index(grid.voxel_keys, dims=opts.dense_dims)
     if opts.method == "p2line_vox":
-        line_packed, line_dir = _build_line_table(pc, grid, opts, dense)
+        line_packed, line_dir = _build_line_table(pc, grid, opts, dense,
+                                                  stats)
         return IcpTarget(grid=grid, centroid=cen, dense=dense,
                          line_packed=line_packed, line_dir=line_dir)
-    plane, plane_mu, plane_valid = _build_plane_table(pc, grid, opts, dense)
+    plane, plane_mu, plane_valid = _build_plane_table(pc, grid, opts, dense,
+                                                      stats)
     packed = jnp.concatenate(
         [plane, plane_mu, plane_valid[:, None].astype(jnp.float32)], axis=1)
     tgt = IcpTarget(grid=grid, centroid=cen, packed=packed, plane=plane,

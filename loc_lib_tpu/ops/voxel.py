@@ -166,6 +166,25 @@ class HashGrid(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "bucket_size"))
+def build_hash_grid_with_stats(
+    pc: PointCloud,
+    leaf_size: float,
+    bucket_size: int = 8,
+    origin: Optional[jax.Array] = None,
+):
+    """(HashGrid, VoxelStats) from ONE key sort: grid and per-voxel
+    Gaussians share floor binning and the same origin, so the segment
+    decomposition is computed once (see _stats_from_segments)."""
+    inv = jnp.float32(1.0 / leaf_size)
+    if origin is None:
+        origin = jnp.zeros((3,), dtype=jnp.float32)
+    keys = coords_to_key(voxel_coords(pc.xyz, inv, origin), pc.mask)
+    seg = _segment_by_key(keys)
+    grid = _grid_from_segments(pc, seg, inv, origin, bucket_size)
+    stats = _stats_from_segments(pc, seg, inv, origin)
+    return grid, stats
+
+
 def build_hash_grid(
     pc: PointCloud,
     leaf_size: float,
@@ -179,13 +198,17 @@ def build_hash_grid(
     the binning). Only NDT voxel *membership* must replicate the reference's
     C++ truncation cast, and the NDT map handles that itself.
     """
-    n = pc.capacity
     inv = jnp.float32(1.0 / leaf_size)
     if origin is None:
         origin = jnp.zeros((3,), dtype=jnp.float32)
     keys = coords_to_key(voxel_coords(pc.xyz, inv, origin), pc.mask)
-    seg = _segment_by_key(keys)
+    return _grid_from_segments(pc, _segment_by_key(keys), inv, origin,
+                               bucket_size)
 
+
+def _grid_from_segments(pc: PointCloud, seg: _Segments, inv, origin,
+                        bucket_size: int) -> HashGrid:
+    n = pc.capacity
     voxel_keys = jax.ops.segment_min(seg.sorted_keys, seg.seg_id, num_segments=n)
     valid_row = seg.sorted_keys != INVALID_KEY
     seg_count = jax.ops.segment_sum(valid_row.astype(jnp.int32), seg.seg_id, num_segments=n)
@@ -398,12 +421,22 @@ class VoxelStats(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("leaf_size", "mode"))
 def voxel_stats(pc: PointCloud, leaf_size: float, origin=None, mode: str = "trunc") -> VoxelStats:
     """One-pass segment reduce: per-voxel count, mean, covariance."""
-    n = pc.capacity
     inv = jnp.float32(1.0 / leaf_size)
     if origin is None:
         origin = jnp.zeros((3,), dtype=jnp.float32)
     keys = coords_to_key(voxel_coords(pc.xyz, inv, origin, mode), pc.mask)
-    seg = _segment_by_key(keys)
+    return _stats_from_segments(pc, _segment_by_key(keys), inv, origin)
+
+
+def _stats_from_segments(pc: PointCloud, seg: _Segments, inv,
+                         origin) -> VoxelStats:
+    """voxel_stats given a precomputed key sort — shared with
+    build_hash_grid_with_stats so targets whose grid and Gaussian table
+    use the SAME binning express ONE sort explicitly. (Measured: XLA's CSE
+    already merged the two identical sorts inside the one jitted
+    set_target program — set_target_ms unchanged — so this is semantic
+    clarity and robustness to future program splits, not a speedup.)"""
+    n = pc.capacity
     pts = pc.xyz[seg.order]
     w = (seg.sorted_keys != INVALID_KEY).astype(pc.xyz.dtype)
     pw = pts * w[:, None]
