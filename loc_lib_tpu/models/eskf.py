@@ -163,7 +163,10 @@ def _update_and_reset(s: EskfState, H, V, innov, opts: EskfOptions) -> EskfState
     new = EskfState(
         p=s.p + dx[0:3],
         v=s.v + dx[3:6],
-        R=s.R @ lie.so3_exp(dtheta),
+        # renormalized: the nominal R accumulates one R@exp per IMU sample
+        # (predict) and per observation; over 1e5+ steps the float32 defect
+        # would reach 1e-2 (lie.so3_renormalize docstring)
+        R=lie.so3_renormalize(s.R @ lie.so3_exp(dtheta)),
         bg=s.bg + dx[9:12] * (1.0 if opts.update_bias_gyro else 0.0),
         ba=s.ba + dx[12:15] * (1.0 if opts.update_bias_acce else 0.0),
         g=s.g + dx[15:18],

@@ -633,8 +633,11 @@ def scan_match(target: IcpTarget, opts: IcpOptions, src: PointCloud, R0, t0) -> 
         jnp.float32(0.0),
     )
     it, R, t, converged, n_eff, chi2 = jax.lax.while_loop(cond, body, init)
-    return MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
-                       iterations=it, chi2=chi2)
+    # pin the output on SO(3): float32 retraction defects otherwise feed
+    # back through odometry-only prediction and grow exponentially
+    # (lie.so3_renormalize docstring)
+    return MatchResult(R=lie.so3_renormalize(R), t=t, converged=converged,
+                       num_effective=n_eff, iterations=it, chi2=chi2)
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -729,5 +732,5 @@ def _scan_match_vox_frozen(target: IcpTarget, opts: IcpOptions,
             jnp.full((3,), big))   # far-away anchor: iteration 0 elects
     it, R, t, converged, n_eff, chi2, _, _, _, _ = jax.lax.while_loop(
         cond, body, init)
-    return MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
-                       iterations=it, chi2=chi2)
+    return MatchResult(R=lie.so3_renormalize(R), t=t, converged=converged,
+                       num_effective=n_eff, iterations=it, chi2=chi2)

@@ -224,5 +224,7 @@ def scan_match(target: LoamTarget, opts: LoamOption,
     init = (jnp.int32(0), jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32),
             jnp.bool_(False), jnp.int32(0), jnp.float32(0.0))
     it, R, t, converged, n_eff, chi2 = jax.lax.while_loop(cond, body, init)
-    return icp.MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
+    # pin the output on SO(3) (lie.so3_renormalize docstring)
+    return icp.MatchResult(R=lie.so3_renormalize(R), t=t,
+                           converged=converged, num_effective=n_eff,
                            iterations=it, chi2=chi2)

@@ -356,8 +356,11 @@ def scan_match(m: NdtMap, opts: NdtOptions, src: PointCloud, R0, t0) -> MatchRes
     init = (jnp.int32(0), jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32),
             jnp.bool_(False), jnp.int32(0), jnp.float32(0.0))
     it, R, t, converged, n_eff, chi2 = jax.lax.while_loop(cond, body, init)
-    return MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
-                       iterations=it, chi2=chi2)
+    # pin the output on SO(3): float32 retraction defects otherwise feed
+    # back through odometry-only prediction and grow exponentially
+    # (lie.so3_renormalize docstring)
+    return MatchResult(R=lie.so3_renormalize(R), t=t, converged=converged,
+                       num_effective=n_eff, iterations=it, chi2=chi2)
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))

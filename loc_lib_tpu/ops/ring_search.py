@@ -165,5 +165,5 @@ def scan_match_rings(prev: RingImage, cur: RingImage, opts: RingOptions,
             jnp.asarray(t0, jnp.float32), jnp.bool_(False), jnp.int32(0),
             jnp.float32(0.0))
     it, R, t, converged, n_eff, chi2 = jax.lax.while_loop(cond, body, init)
-    return RingMatchResult(R=R, t=t, converged=converged,
+    return RingMatchResult(R=lie.so3_renormalize(R), t=t, converged=converged,
                            num_effective=n_eff, iterations=it, chi2=chi2)

@@ -207,7 +207,7 @@ def _gn_loop(terms_fn, opts, R0, t0, axes=("dp", "mp")):
             jnp.asarray(t0, jnp.float32), jnp.bool_(False), jnp.int32(0),
             jnp.float32(0.0))
     it, R, t, converged, n_eff, chi2 = jax.lax.while_loop(cond, body, init)
-    return icp.MatchResult(R=R, t=t, converged=converged, num_effective=n_eff,
+    return icp.MatchResult(R=lie.so3_renormalize(R), t=t, converged=converged, num_effective=n_eff,
                            iterations=it, chi2=chi2)
 
 
@@ -398,7 +398,7 @@ def ndt_scan_match_sharded(mesh: Mesh, sm: ShardedNdtMap,
                 jnp.asarray(t0, jnp.float32), jnp.bool_(False), jnp.int32(0),
                 jnp.float32(0.0))
         it, R, t, converged, n_res, chi2 = jax.lax.while_loop(cond, body, init)
-        return icp.MatchResult(R=R, t=t, converged=converged,
+        return icp.MatchResult(R=lie.so3_renormalize(R), t=t, converged=converged,
                                num_effective=n_res, iterations=it, chi2=chi2)
 
     return shard_map(

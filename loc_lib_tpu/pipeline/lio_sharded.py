@@ -145,6 +145,12 @@ def step_measure(mesh: Mesh, sm: map_shard.ShardedNdtMap,
 
 
 @jax.jit
+@jax.jit
+def _live_counts(keys) -> jax.Array:
+    """(mp,) live voxel count from the sharded (mp, V) key table."""
+    return jnp.sum(keys != voxel_ops.INVALID_KEY, axis=1)
+
+
 def world_scan(scan: PointCloud, R, t) -> PointCloud:
     w = scan.xyz @ R.T + t
     return PointCloud(xyz=jnp.where(scan.mask[:, None], w, PAD_COORD),
@@ -156,7 +162,25 @@ class LioSharded:
     incremental voxel table partitioned over the mesh's 'mp' axis. Slab
     bounds come from the FIRST keyframe's point spread; size the per-shard
     `opts.ndt.map_capacity` so mp * capacity covers the run (per-shard live
-    counts are observable via `live_voxels_per_shard`)."""
+    counts are observable via `live_voxels_per_shard`).
+
+    EXPLORATION CAVEAT (advisor round 4): slab ownership is FIXED from the
+    first keyframe, with the two outer shards owning the half-open tails
+    (-inf, b0] / [bN, +inf). On a loop-shaped trajectory (the design
+    workload: revisited maps are why the map must persist) growth spreads
+    over the slabs; on a monotonically EXPLORING trajectory nearly all new
+    voxels land in one boundary shard, which hits its capacity and
+    age-evicts while interior shards idle — effective total capacity is
+    then ~1 shard's, far below mp * capacity. The driver surfaces this:
+    every `imbalance_check_every`-th keyframe it pulls the (mp,) live
+    counts (one tiny transfer) and records a warning in
+    `self.imbalance_warnings` when max/mean exceeds
+    `imbalance_warn_ratio`. Re-partitioning (rebuilding slabs from the
+    live voxel keys) is the long-term fix and is intentionally NOT done
+    implicitly — it would move every shard's table mid-run."""
+
+    imbalance_warn_ratio: float = 3.0
+    imbalance_check_every: int = 16
 
     def __init__(self, mesh: Mesh, opts: LioOptions = LioOptions(),
                  R_il=None, t_il=None):
@@ -172,6 +196,8 @@ class LioSharded:
         self._imu_init = lio_mod.ImuStaticInit()
         self.imu_inited = not opts.with_eskf
         self.health = health_mod.TrackingHealth()
+        self.imbalance_warnings: list[str] = []
+        self._kf_since_check = 0
 
     def init_imu(self, gyro, acce, timestamp) -> bool:
         if self.imu_inited:
@@ -214,7 +240,28 @@ class LioSharded:
             ws = world_scan(scan, out.R, out.t)
             self.sm = map_shard.update_incremental_sharded(self.mesh, self.sm,
                                                            ws, inc)
+            self._kf_since_check += 1
+            if self._kf_since_check >= self.imbalance_check_every:
+                self._kf_since_check = 0
+                self._check_imbalance()
         return out
+
+    def _check_imbalance(self) -> None:
+        """Exploration-trajectory guard (see class docstring): warn when one
+        slab carries >> the mean live voxels — the fixed partition is no
+        longer spreading the map and total capacity degrades toward one
+        shard's."""
+        live = self.live_voxels_per_shard().astype(np.float64)
+        mean = float(live.mean())
+        if mean <= 0:
+            return
+        ratio = float(live.max()) / mean
+        if ratio > self.imbalance_warn_ratio:
+            msg = (f"slab imbalance {ratio:.1f}x at keyframe "
+                   f"{len(self.kf_poses)}: live={live.astype(int).tolist()} "
+                   f"(fixed first-keyframe partition; consider a larger "
+                   f"per-shard map_capacity or re-partitioning)")
+            self.imbalance_warnings.append(msg)
 
     def _record(self, out: StepResult) -> bool:
         R, t, is_kf, conv, n_eff, chi2 = jax.device_get(
@@ -238,8 +285,9 @@ class LioSharded:
         All zeros before the first scan seeds the map."""
         if self.sm is None:
             return np.zeros((self.mesh.shape["mp"],), np.int64)
-        keys = np.asarray(self.sm.map.keys)                 # (mp, V)
-        return np.sum(keys != voxel_ops.INVALID_KEY, axis=1)
+        # count on device: pulling the raw (mp, V) key table costs MBs per
+        # probe on the tunnel; the reduced (mp,) ints cost nothing
+        return np.asarray(_live_counts(self.sm.map.keys))
 
     def keyframe_poses(self) -> np.ndarray:
         return np.stack(self.kf_poses) if self.kf_poses else np.zeros((0, 4, 4))

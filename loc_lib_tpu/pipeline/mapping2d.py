@@ -413,8 +413,21 @@ class Mapping2D:
         cur = self.submaps[-1]
         th_sb, t_sb = cur.world_to_submap(self.theta_wb, self.t_wb)
         for k, s in enumerate(self.submaps):
+            old_sm = (s.theta_ws, s.t_ws)
             s.theta_ws = float(th2[k])
             s.t_ws = t2[k]
+            # move the seed ring with its submap: recent keyframes are
+            # stored at WORLD poses while the reference stores them
+            # submap-relative (submap.cpp:14-23) so they ride corrections
+            # for free — apply this submap's rigid correction so the next
+            # ExpandSubmap seeds from post-correction geometry
+            dck = _np_se2_compose(s.theta_ws, s.t_ws,
+                                  *_np_se2_inverse(*old_sm))
+            s.recent = [
+                (xy, v) + (lambda p: (float(p[0]),
+                                      np.asarray(p[1], np.float32)))(
+                    _np_se2_compose(*dck, th_r, t_r))
+                for (xy, v, th_r, t_r) in s.recent]
         old_th, old_t = self.theta_wb, self.t_wb
         th_w, t_w = cur.submap_to_world(th_sb, t_sb)
         self.theta_wb, self.t_wb = float(th_w), np.asarray(t_w, np.float32)

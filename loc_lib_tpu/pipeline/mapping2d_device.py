@@ -204,6 +204,21 @@ def expand_state(state: Mapping2dDeviceState,
         theta_ws=th_new, t_ws=t_new, num_frames=jnp.int32(1))
 
 
+@jax.jit
+def _corrected_ring(recent_th, recent_t, old_th, old_t, new_th, new_t):
+    """Apply the body-pose rigid correction dcorr = T_new T_old^-1 to the
+    seed ring's world poses (one program; module-level jit per CLAUDE.md's
+    recompile rule). No-op when the correction is identity."""
+    ith, it = lie.se2_inverse(old_th, old_t)
+    cth, ct = lie.se2_compose(new_th, new_t, ith, it)
+    moved = (jnp.abs(lie.wrap_angle(cth)) > 1e-9) | (
+        jnp.linalg.norm(ct) > 1e-9)
+    th2, t2 = lie.se2_compose(cth, ct, recent_th, recent_t)
+    th2 = lie.wrap_angle(th2)
+    return (jnp.where(moved, th2, recent_th),
+            jnp.where(moved, t2, recent_t))
+
+
 class Mapping2DDevice(Mapping2D):
     """Device-resident drop-in for `Mapping2D`: same public surface
     (process_scan / submaps / loops / optimize / global_occupancy), one
@@ -302,7 +317,10 @@ class Mapping2DDevice(Mapping2D):
         # candidate ever matches them again) — a long run would otherwise
         # pin ~9 MB of HBM per submap forever
         budget = self.opts.archived_device_submaps
-        for sm in self.submaps[:-1][:-budget] if budget > 0 else []:
+        # budget=0 means "keep NO archives in HBM": spill every archived
+        # submap (the `[:-0]` slice would keep them all — advisor round 4)
+        spill = self.submaps[:-1][:-budget] if budget > 0 else self.submaps[:-1]
+        for sm in spill:
             if isinstance(sm.field, jax.Array):
                 sm.grid = grid2d.OccupancyGrid(
                     counts=np.asarray(sm.grid.counts),
@@ -311,6 +329,7 @@ class Mapping2DDevice(Mapping2D):
 
     # -- pose-graph write-back ----------------------------------------------
     def optimize(self):
+        old_th, old_t = self.theta_wb, np.asarray(self.t_wb, np.float32)
         super().optimize()
         # push the corrected poses into the device state (the host-driven
         # optimize updated the proxy submap + the pose mirrors)
@@ -324,6 +343,21 @@ class Mapping2DDevice(Mapping2D):
             last_t=jnp.asarray(self.last_t, jnp.float32),
             last_kf_theta=jnp.float32(self.last_kf_theta),
             last_kf_t=jnp.asarray(self.last_kf_t, jnp.float32))
+        # move the seed ring's world poses with the correction too — else
+        # the first expand_state after a PGO re-expresses ring keyframes
+        # with stale pre-correction poses, misaligning the new submap's
+        # seed raster by the correction delta (advisor round 4).
+        # APPROXIMATION: the ring is global (last S keyframes across
+        # submaps) so every entry rides the CURRENT submap's rigid
+        # correction — exact for ring entries of the current submap (the
+        # common case: the ring holds the newest keyframes), off by the
+        # inter-submap correction difference for older ones; the host twin
+        # applies per-submap corrections to each Submap.recent.
+        new_th, new_t = _corrected_ring(
+            self.dstate.recent_th, self.dstate.recent_t,
+            jnp.float32(old_th), jnp.asarray(old_t, jnp.float32),
+            jnp.float32(self.theta_wb), jnp.asarray(self.t_wb, jnp.float32))
+        self.dstate = self.dstate._replace(recent_th=new_th, recent_t=new_t)
 
     # -- export --------------------------------------------------------------
     def global_occupancy(self):

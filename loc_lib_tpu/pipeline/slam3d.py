@@ -147,8 +147,12 @@ class Slam3d:
         self.warm_times: dict[tuple, float] = {}
         self._warmed: set[tuple] = set()
         self._warm_threads: dict[tuple, threading.Thread] = {}
-        if opts.warm_start:
-            self._warm_ahead()
+        # warm-start is DEFERRED to the first keyframe (_after_step):
+        # warming at construction started two ~20-40 s background solver
+        # compiles even for engines that never see a scan (advisor round
+        # 4), and a loop cannot be accepted before the first keyframe
+        # anyway — the first _warm_ahead still runs a whole bucket-width
+        # of keyframes before the solver can be needed.
 
     # -- delegation to the LIO front-end ------------------------------------
     @property

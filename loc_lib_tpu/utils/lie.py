@@ -245,6 +245,28 @@ def se3_retract(R, t, dx):
     return R @ so3_exp(dx[..., :3]), t + dx[..., 3:]
 
 
+def so3_renormalize(R: jax.Array) -> jax.Array:
+    """Project a near-rotation matrix back onto SO(3) (two Newton-Schulz
+    polar iterations, quadratic convergence for ||R^T R - I|| < 1).
+
+    float32 retraction chains (R @ exp(dx) per GN iteration) drift off the
+    manifold at ~1e-7 per compose. That seed is harmless per solve, but
+    the odometry-only constant-velocity prediction R * last^-1 * R FEEDS
+    THE DEFECT BACK and amplifies it ~2.4x per frame (measured on an
+    exploring-corridor drive: orthonormality error 7e-9 at frame 8 ->
+    0.11 at frame 27 -> solver divergence -> NaN poses; the reference
+    never hits this because Eigen/Sophus SO3 re-normalizes its quaternion
+    storage on construction, sophus/so3.hpp). Every matcher projects its
+    output rotation once per solve, which pins the steady-state defect at
+    the single-solve level (~1e-7) for any run length. Supports batched
+    (..., 3, 3) input."""
+    eye = jnp.eye(3, dtype=R.dtype)
+    for _ in range(2):
+        RtR = jnp.swapaxes(R, -1, -2) @ R
+        R = 0.5 * (R @ (3.0 * eye - RtR))
+    return R
+
+
 def se3_retract_full(R, t, dx):
     """Full right-multiplicative retraction T * Exp(dx) (used by the pose
     graph, whose residual is differentiated w.r.t. this perturbation)."""

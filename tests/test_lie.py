@@ -121,3 +121,28 @@ def test_se3_adjoint():
     rhs = lie.se3_exp(lie.se3_adjoint(jnp.asarray(R), jnp.asarray(t)) @ xi)
     np.testing.assert_allclose(np.asarray(lhs[0]), np.asarray(rhs[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(lhs[1]), np.asarray(rhs[1]), atol=1e-4)
+
+
+def test_so3_renormalize_projects_back_to_so3():
+    """Newton-Schulz projection: a rotation with a multiplicative defect of
+    the size the odometry feedback loop actually produces (up to ~0.1,
+    measured on the exploring-corridor divergence) must come back to an
+    orthonormal matrix near the true rotation; exact rotations are fixed
+    points. Batched input supported."""
+    rng = np.random.default_rng(11)
+    R = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(0, 0.7, 3),
+                                           jnp.float32)))
+    for eps in (1e-7, 1e-3, 0.05):
+        Rp = (R + eps * rng.normal(0, 1, (3, 3))).astype(np.float32)
+        Rn = np.asarray(lie.so3_renormalize(jnp.asarray(Rp)))
+        np.testing.assert_allclose(Rn.T @ Rn, np.eye(3),
+                                   atol=max(1e-6, 20 * eps ** 2))
+        assert np.abs(Rn - R).max() < 5 * eps + 1e-6
+    # exact rotation: fixed point to float32 roundoff
+    Rn = np.asarray(lie.so3_renormalize(jnp.asarray(R)))
+    np.testing.assert_allclose(Rn, R, atol=1e-6)
+    # batched
+    Rb = np.stack([R, np.eye(3, dtype=np.float32)])
+    Rbn = np.asarray(lie.so3_renormalize(jnp.asarray(Rb)))
+    assert Rbn.shape == (2, 3, 3)
+    np.testing.assert_allclose(Rbn[1], np.eye(3), atol=1e-6)

@@ -183,3 +183,58 @@ def test_loc_health_flags_lost_on_empty_map():
     for _ in range(12):
         engine.update_cloud(scan)
     assert engine.health.needs_reinit
+
+
+def _pillar_corridor(rng, x_lo=-8.0, x_hi=46.0):
+    """Corridor world with x-constraining pillars every 3 m (a featureless
+    corridor is x-degenerate for every matcher by design)."""
+    L = 6000
+    parts = [
+        np.stack([rng.uniform(x_lo, x_hi, L), rng.uniform(-4, 4, L),
+                  np.zeros(L)], 1),
+        np.stack([rng.uniform(x_lo, x_hi, L // 2), np.full(L // 2, -4.0),
+                  rng.uniform(0, 3, L // 2)], 1),
+        np.stack([rng.uniform(x_lo, x_hi, L // 2), np.full(L // 2, 4.0),
+                  rng.uniform(0, 3, L // 2)], 1)]
+    for px in np.arange(x_lo + 2, x_hi, 3.0):
+        py = rng.uniform(-3.5, 3.5)
+        parts.append(np.stack(
+            [np.full(240, px) + 0.05 * rng.standard_normal(240),
+             py + rng.uniform(-0.3, 0.3, 240),
+             rng.uniform(0, 3, 240)], 1))
+    return np.concatenate(parts).astype(np.float32)
+
+
+def _corridor_scan(world, t, rng, capacity=6144):
+    near = world[np.abs(world[:, 0] - t[0]) < 8.0]
+    pts = (near - t + 0.003 * rng.standard_normal(near.shape))
+    from loc_lib_tpu.ops import pointcloud
+    return pointcloud.from_numpy(pts.astype(np.float32), capacity=capacity)
+
+
+@pytest.mark.slow
+def test_lio_exploring_odometry_stays_on_manifold():
+    """REGRESSION (round 5): odometry-only LIO on an EXPLORING trajectory.
+
+    Before the matcher-output SO(3) projection (lie.so3_renormalize), the
+    float32 retraction defect fed back through the constant-velocity
+    prediction R*last^-1*R and grew ~2.4x per frame: orthonormality error
+    7e-9 at frame 8 -> 0.11 at frame 27 -> solver divergence -> NaN poses
+    by frame 36 on exactly this workload. Every circular bench log masked
+    it (the ESKF nominal path and short horizons never compounded the
+    defect)."""
+    rng = np.random.default_rng(0)
+    world = _pillar_corridor(rng)
+    eng = lio.Lio(lio.LioOptions(with_eskf=False, kf_distance=0.4,
+                                 matcher="ndt_inc"))
+    z = np.zeros((4, 3), np.float32)
+    s = np.zeros(4)
+    v = np.zeros(4, bool)
+    errs = []
+    for k in range(45):
+        t = np.array([0.45 * k, 0.0, 0.0], np.float32)
+        out = eng.add_measure(_corridor_scan(world, t, rng), z, z, s, v)
+        errs.append(np.linalg.norm(np.asarray(out.t) - t))
+    R = np.asarray(eng.state.R)
+    assert np.abs(R.T @ R - np.eye(3)).max() < 1e-5
+    assert max(errs) < 0.1, max(errs)

@@ -187,10 +187,13 @@ def test_pgo_warm_start_compiles_the_live_shape():
     assert shape in eng._warmed
     assert eng.warm_times[shape] > 0
     assert eng.optimize()
-    # __init__'s background warm of the first bucket also lands eventually
+    # construction starts NO background warms (deferred to the first
+    # keyframe, advisor round 4): a hand-filled engine that never saw
+    # _after_step has only the explicitly warmed shape
     for th in list(eng._warm_threads.values()):
         th.join(timeout=120)
-    assert eng._solver_shape(1, 1) in eng._warmed
+    assert eng._solver_shape(1, 1) not in eng._warmed
+    assert slam3d.Slam3d(_small_opts())._warm_threads == {}
 
 
 @pytest.mark.slow
