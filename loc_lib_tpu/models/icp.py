@@ -99,6 +99,31 @@ class IcpOptions:
     freeze_election_after: int = 0
     elect_dx_threshold: float = 0.15
     elect_rot_scale: float = 30.0   # m of drift per rad at scene scale
+    # Accumulation-gate warm-up (p2plane_vox family, opt-in): run the
+    # first k GN iterations with gate = max_plane_distance *
+    # gate_warmup_scale, then the production gate; convergence cannot
+    # fire during warm-up iterations. MEASURED VERDICT (round-5 diagnosis
+    # of the round-4 9.3 cm batched-converged tail): warm-up is NOT the
+    # fix for that tail — the tail was a target-DENSITY misconfiguration
+    # (grid_leaf=1.0/plane_min_pts=5 on a sparse 8192-pt/70 m keyframe
+    # cloud leaves ~23% of source points with any valid plane; the
+    # surviving near-zero-residual subset false-converges at the init,
+    # worst lane err 0.0931 = its init error, and a wide warm-up gate on
+    # that sparse table made it WORSE, 0.198). With density-matched
+    # options (grid_leaf=2.0, plane_min_pts=4) the B=64 converged tail is
+    # 0.9-1.9 cm and warm-up is neutral-to-slightly-better. Where warm-up
+    # DOES win: poor inits beyond the tight gate on dense targets — a
+    # 0.3 m-offset init on a 20 m corridor recovers to 1 mm with
+    # warmup=3 where the plain default stops 0.16 m off (the end-wall
+    # residuals that carry the x signal all exceed the 0.1 m gate).
+    # Warm-up iterations take a Marquardt-damped step (lambda = 1e-2 *
+    # max diag H) because the wide gate on a degenerate scene can leave H
+    # near-singular and the raw GN step explodes. Keep 0 unless running a
+    # registration from inits that may exceed the accumulation gate.
+    # (Reference gate/stop semantics: icp_registration.cpp:187-190,
+    # 371-375.)
+    gate_warmup_iters: int = 0
+    gate_warmup_scale: float = 5.0
 
 
 class IcpTarget(NamedTuple):
@@ -447,7 +472,8 @@ def _p2plane_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
     return H, b, jnp.sum(eff), chi2
 
 
-def _p2plane_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
+def _p2plane_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t,
+                       gate=None):
     """Voxel-plane P2Plane linearization: dense O(1) lookups + fused Pallas
     kernel. Correspondence = nearest-centroid VALID plane voxel among the
     point's own voxel + its 6 face neighbors (the gather-friendly stand-in
@@ -466,8 +492,9 @@ def _p2plane_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, 
     rows7 = target.packed[slot7]                             # (N, 7, 8)
     valid7 = found7 & (rows7[..., 7] > 0.5)                  # (N, 7)
     rows7 = rows7.at[..., 7].set(valid7.astype(rows7.dtype))
+    g = opts.max_plane_distance if gate is None else gate
     return pallas_kernels.p2plane_pick_fused_terms(
-        q, rows7, src.mask.astype(q.dtype), R, t, opts.max_plane_distance,
+        q, rows7, src.mask.astype(q.dtype), R, t, g,
         interpret=not pallas_kernels.on_tpu())
 
 
@@ -494,19 +521,21 @@ def _p2plane_vox_elect(target: IcpTarget, opts: IcpOptions,
 
 
 def _p2plane_vox_terms_unfused_pick(target: IcpTarget, opts: IcpOptions,
-                                    src: PointCloud, R, t):
+                                    src: PointCloud, R, t, gate=None):
     """Oracle for `_p2plane_vox_terms`: identical correspondence election
     (nearest-valid-centroid over NEARBY6+self) expressed as XLA argmin +
     take_along_axis, feeding the plane-only fused kernel. Pinned equal to
     the fused-pick path by tests/test_icp.py."""
     plane, w = _p2plane_vox_elect(target, opts, src, R, t)
+    g = opts.max_plane_distance if gate is None else gate
     H, b, n_eff, chi2 = pallas_kernels.p2plane_fused_terms(
-        src.xyz, plane, w, R, t, opts.max_plane_distance,
+        src.xyz, plane, w, R, t, g,
         interpret=not pallas_kernels.on_tpu())
     return H, b, n_eff, chi2
 
 
-def _p2line_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t):
+def _p2line_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t,
+                      gate=None):
     """Voxel-line P2Line linearization.
 
     Correspondence = nearest-centroid VALID line voxel among the NEARBY6
@@ -528,14 +557,15 @@ def _p2line_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, t
     pick = jnp.argmin(d2, axis=1)
     rows = jnp.take_along_axis(rows7, pick[:, None, None], axis=1)[:, 0]
     w = (jnp.any(valid7, axis=1) & src.mask).astype(jnp.float32)
+    g = opts.max_line_distance if gate is None else gate
     return pallas_kernels.ndt_fused_terms(
         q, qs, rows[:, None, 0:3], rows[:, None, 3:12], w[:, None], R, t,
-        opts.max_line_distance ** 2, weighted=True,
+        g ** 2, weighted=True,
         interpret=not pallas_kernels.on_tpu())
 
 
 def _p2plane_vox_oct_terms(target: IcpTarget, opts: IcpOptions,
-                           src: PointCloud, R, t):
+                           src: PointCloud, R, t, gate=None):
     """Octant-pre-elected P2Plane linearization (see _build_oct_tables):
     per point, ONE dense lookup of its (voxel, octant) cell + one row
     gather of the pre-elected plane, then the plane-only fused kernel. The
@@ -555,8 +585,9 @@ def _p2plane_vox_oct_terms(target: IcpTarget, opts: IcpOptions,
                                    axis=1)[:, 0]             # (N,)
     rows = target.packed_ext[row_slot]                       # (N, 8)
     w = (found & (rows[:, 7] > 0.5) & src.mask).astype(q.dtype)
+    g = opts.max_plane_distance if gate is None else gate
     return pallas_kernels.p2plane_fused_terms(
-        q, rows[:, 0:4], w, R, t, opts.max_plane_distance,
+        q, rows[:, 0:4], w, R, t, g,
         interpret=not pallas_kernels.on_tpu())
 
 
@@ -610,18 +641,46 @@ def scan_match(target: IcpTarget, opts: IcpOptions, src: PointCloud, R0, t0) -> 
     if opts.method == "p2plane_vox" and opts.freeze_election_after > 0:
         return _scan_match_vox_frozen(target, opts, src, R0, t0)
 
+    warmup = (opts.gate_warmup_iters
+              if opts.method in ("p2plane_vox", "p2plane_vox_oct",
+                                 "p2line_vox") else 0)
+    base_gate = (opts.max_line_distance if opts.method == "p2line_vox"
+                 else opts.max_plane_distance)
+
     def cond(state):
         it, R, t, done, _, _ = state
         return (it < opts.max_iteration) & (~done)
 
     def body(state):
         it, R, t, _, _, _ = state
-        H, b, n_eff, chi2 = terms(target, opts, src, R, t)
+        if warmup > 0:
+            # accumulation-gate warm-up schedule (IcpOptions docstring):
+            # wide gate while the pose may still be far, production gate
+            # after; convergence can only fire on tight-gate iterations
+            gate = jnp.where(it < warmup,
+                             jnp.float32(base_gate * opts.gate_warmup_scale),
+                             jnp.float32(base_gate))
+            H, b, n_eff, chi2 = terms(target, opts, src, R, t, gate=gate)
+        else:
+            H, b, n_eff, chi2 = terms(target, opts, src, R, t)
         ok = n_eff >= opts.min_effective_pts
-        dx = jnp.where(ok, mathx.solve_gn_6x6(H, b), jnp.zeros(6, dtype=b.dtype))
+        dx_gn = mathx.solve_gn_6x6(H, b)
+        if warmup > 0:
+            # Marquardt-damped step during warm-up: a wide gate on a
+            # degenerate scene can leave H near-singular along the
+            # unconstrained direction, and the raw GN step explodes
+            # (measured: a 20 m corridor walked to |t| ~ 2800 m). Damping
+            # only warm-up iterations keeps post-warm-up semantics exact.
+            # damp relative to the LARGEST diagonal: per-element Marquardt
+            # scaling leaves a near-zero H_xx (degenerate direction)
+            # near-zero and the step still explodes — measured
+            lam = 1e-2 * jnp.max(jnp.diagonal(H)) + 1e-6
+            Hd = H + lam * jnp.eye(6, dtype=H.dtype)
+            dx_gn = jnp.where(it < warmup, mathx.solve_gn_6x6(Hd, b), dx_gn)
+        dx = jnp.where(ok, dx_gn, jnp.zeros(6, dtype=b.dtype))
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         R_new, t_new = lie.se3_retract(R, t, dx)
-        converged = ok & (jnp.linalg.norm(dx) < opts.eps)
+        converged = ok & (jnp.linalg.norm(dx) < opts.eps) & (it >= warmup)
         return (it + 1, R_new, t_new, converged, n_eff, chi2)
 
     init = (
