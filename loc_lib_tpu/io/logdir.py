@@ -28,17 +28,43 @@ class SensorLog:
     def __init__(self, scan_stamps, scan_xyz, scan_mask,
                  imu: Optional[replay.ImuLog] = None,
                  gnss: Optional[replay.GnssLog] = None,
-                 gt_poses: Optional[np.ndarray] = None):
+                 gt_poses: Optional[np.ndarray] = None,
+                 scan_ring: Optional[np.ndarray] = None,
+                 scan_time: Optional[np.ndarray] = None,
+                 scan_intensity: Optional[np.ndarray] = None):
         self.scan_stamps = scan_stamps
         self.scan_xyz = scan_xyz
         self.scan_mask = scan_mask
         self.imu = imu
         self.gnss = gnss
         self.gt_poses = gt_poses  # (F, 4, 4) when available (synthetic logs)
+        # real-sensor per-point structure (io/kitti.py readers): ring id
+        # (F, C) int32 (-1 = none), relative firing time (F, C) float32 in
+        # [0, 1] (the reference's time_intervel, cloud_subscriber.cpp:54),
+        # intensity (F, C) float32
+        self.scan_ring = scan_ring
+        self.scan_time = scan_time
+        self.scan_intensity = scan_intensity
 
     @property
     def num_frames(self) -> int:
         return len(self.scan_stamps)
+
+    def frame(self, k: int):
+        """Frame k as a padded PointCloud, carrying ring/time/intensity
+        when the log has them (what LOAM's feature extraction and the
+        deskew path consume)."""
+        import jax.numpy as jnp
+
+        from ..ops.pointcloud import PointCloud
+
+        pick = lambda a: None if a is None else jnp.asarray(a[k])
+        return PointCloud(
+            xyz=jnp.asarray(self.scan_xyz[k]),
+            mask=jnp.asarray(self.scan_mask[k]),
+            intensity=pick(self.scan_intensity),
+            ring=pick(self.scan_ring),
+            time=pick(self.scan_time))
 
     def measures(self, imu_capacity: int = 64):
         """Per-scan measure groups; the IMU grouping runs in the native C++
@@ -65,8 +91,11 @@ class SensorLog:
 
 def save_log(directory: str, log: SensorLog) -> None:
     os.makedirs(directory, exist_ok=True)
+    extras = {k: getattr(log, "scan_" + k) for k in
+              ("ring", "time", "intensity")
+              if getattr(log, "scan_" + k, None) is not None}
     np.savez(os.path.join(directory, "scans.npz"), stamps=log.scan_stamps,
-             xyz=log.scan_xyz, mask=log.scan_mask)
+             xyz=log.scan_xyz, mask=log.scan_mask, **extras)
     if log.imu is not None:
         np.savez(os.path.join(directory, "imu.npz"), stamps=log.imu.stamps,
                  gyro=log.imu.gyro, acce=log.imu.acce)
@@ -91,7 +120,10 @@ def load_log(directory: str) -> SensorLog:
     p = os.path.join(directory, "gt.npz")
     if os.path.exists(p):
         gt = np.load(p)["poses"]
-    return SensorLog(s["stamps"], s["xyz"], s["mask"], imu, gnss, gt)
+    get = lambda k: s[k] if k in s.files else None
+    return SensorLog(s["stamps"], s["xyz"], s["mask"], imu, gnss, gt,
+                     scan_ring=get("ring"), scan_time=get("time"),
+                     scan_intensity=get("intensity"))
 
 
 def make_demo_log(num_frames: int = 30, capacity: int = 8192,

@@ -293,6 +293,18 @@ class Align2dOptions:
     eps: float = 1e-4
     min_effective: int = 20
     huber_delta_px: float = 5.0
+    # method="lm": Levenberg-Marquardt with accept/reject steps — the
+    # analog of the reference's g2o-LM alignment path
+    # (likelihood_filed.cpp:146-201), its robustness lever for bad
+    # initializations: damping bounds the step when H is ill-conditioned
+    # (e.g. most beams off the field), and rejected steps (chi2 up)
+    # raise lambda instead of walking away. GN ("gn") is the default and
+    # the parity-pinned production path.
+    method: str = "gn"               # gn | lm
+    lm_lambda0: float = 1e-3
+    lm_up: float = 10.0
+    lm_down: float = 0.2
+    lm_lambda_max: float = 1e4
 
 
 class Align2dResult(NamedTuple):
@@ -305,43 +317,55 @@ class Align2dResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("gopts", "aopts"))
+def _field_terms(field, gopts, aopts, scan_xy, scan_valid, theta, t):
+    """Shared SE(2) field linearization: bilinear residual/gradient lookup,
+    outlier gate, Huber weights, 3x3 H / b (likelihood_filed.cpp:54-133).
+    Returns (H, b, n_eff, chi2, inlier_ratio)."""
+    res_scale = gopts.resolution  # field gradient is in px; J in px/m
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    wx = c * scan_xy[:, 0] - s * scan_xy[:, 1] + t[0]
+    wy = s * scan_xy[:, 0] + c * scan_xy[:, 1] + t[1]
+    px = wx * gopts.resolution + gopts.center
+    py = wy * gopts.resolution + gopts.center
+    e, gx, gy = _bilinear(field, px, py)
+    ok = scan_valid & (e < aopts.max_residual_px) & jnp.isfinite(e)
+    # Huber weights on the field residual
+    w = jnp.where(e <= aopts.huber_delta_px, 1.0,
+                  aopts.huber_delta_px / jnp.maximum(e, 1e-9))
+    w = w * ok.astype(field.dtype)
+    # d(world)/d(theta) = (-wx_rel_sin..., rotation of the body point)
+    dwx_dth = -s * scan_xy[:, 0] - c * scan_xy[:, 1]
+    dwy_dth = c * scan_xy[:, 0] - s * scan_xy[:, 1]
+    J = jnp.stack([
+        res_scale * (gx * dwx_dth + gy * dwy_dth),   # d e / d theta
+        res_scale * gx,                               # d e / d tx
+        res_scale * gy,                               # d e / d ty
+    ], axis=-1)                                       # (B, 3)
+    H = (J * w[:, None]).T @ J
+    b = -(J * w[:, None]).T @ e
+    chi2 = jnp.sum(e * e * w)
+    n_eff = jnp.sum(ok)
+    inl = jnp.sum(ok & (e < 3.0)) / jnp.maximum(jnp.sum(scan_valid), 1)
+    return H, b, n_eff, chi2, inl
+
+
 def align_gauss_newton(field: jax.Array, gopts: Grid2dOptions,
                        scan_xy: jax.Array, scan_valid: jax.Array,
                        theta0, t0, aopts: Align2dOptions = Align2dOptions()) -> Align2dResult:
     """AlignGaussNewton / AlignG2O (likelihood_filed.cpp:54-201) fused:
     SE(2) GN on bilinear field residuals with Huber weights, all beams in
-    parallel, 3x3 solve per iteration.
+    parallel, 3x3 solve per iteration. With aopts.method="lm" dispatches
+    to the Levenberg-Marquardt variant (`align_lm`) — same residuals and
+    Huber weights, damped accept/reject steps.
 
     scan_xy: (B, 2) beam endpoints in the SENSOR frame.
     """
-    res_scale = gopts.resolution  # field gradient is in px; J in px/m
-
+    if aopts.method == "lm":
+        return align_lm(field, gopts, scan_xy, scan_valid, theta0, t0,
+                        aopts)
     def terms(theta, t):
-        c, s = jnp.cos(theta), jnp.sin(theta)
-        wx = c * scan_xy[:, 0] - s * scan_xy[:, 1] + t[0]
-        wy = s * scan_xy[:, 0] + c * scan_xy[:, 1] + t[1]
-        px = wx * gopts.resolution + gopts.center
-        py = wy * gopts.resolution + gopts.center
-        e, gx, gy = _bilinear(field, px, py)
-        ok = scan_valid & (e < aopts.max_residual_px) & jnp.isfinite(e)
-        # Huber weights on the field residual
-        w = jnp.where(e <= aopts.huber_delta_px, 1.0,
-                      aopts.huber_delta_px / jnp.maximum(e, 1e-9))
-        w = w * ok.astype(field.dtype)
-        # d(world)/d(theta) = (-wx_rel_sin..., rotation of the body point)
-        dwx_dth = -s * scan_xy[:, 0] - c * scan_xy[:, 1]
-        dwy_dth = c * scan_xy[:, 0] - s * scan_xy[:, 1]
-        J = jnp.stack([
-            res_scale * (gx * dwx_dth + gy * dwy_dth),   # d e / d theta
-            res_scale * gx,                               # d e / d tx
-            res_scale * gy,                               # d e / d ty
-        ], axis=-1)                                       # (B, 3)
-        H = (J * w[:, None]).T @ J
-        b = -(J * w[:, None]).T @ e
-        chi2 = jnp.sum(e * e * w)
-        n_eff = jnp.sum(ok)
-        inl = jnp.sum(ok & (e < 3.0)) / jnp.maximum(jnp.sum(scan_valid), 1)
-        return H, b, n_eff, chi2, inl
+        return _field_terms(field, gopts, aopts, scan_xy, scan_valid,
+                            theta, t)
 
     def cond(st):
         it, th, t, done, *_ = st
@@ -362,6 +386,68 @@ def align_gauss_newton(field: jax.Array, gopts: Grid2dOptions,
     init = (jnp.int32(0), jnp.float32(theta0), jnp.asarray(t0, jnp.float32),
             jnp.bool_(False), jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0))
     it, th, t, done, n_eff, chi2, inl = jax.lax.while_loop(cond, body, init)
+    return Align2dResult(theta=th, t=t, converged=done, num_effective=n_eff,
+                         chi2=chi2, inlier_ratio=inl)
+
+
+def align_lm(field: jax.Array, gopts: Grid2dOptions,
+             scan_xy: jax.Array, scan_valid: jax.Array,
+             theta0, t0, aopts: Align2dOptions = Align2dOptions()) -> Align2dResult:
+    """Levenberg-Marquardt field alignment with Huber weights — the analog
+    of the reference's AlignG2O path (likelihood_filed.cpp:146-201, g2o
+    LM over EdgeSE2LikelihoodFiled unary edges with Huber kernels), the
+    robustness lever for bad initializations the plain GN lacks: each
+    iteration solves (H + lambda*diag(H)) dx = b and only ACCEPTS the
+    step if chi2 decreases (lambda /5 on accept, x10 on reject), so an
+    ill-conditioned H or a residual landscape that GN would overshoot
+    yields a smaller, retried step instead of divergence. Same residual
+    model as `align_gauss_newton` (shared `_field_terms`)."""
+
+    def terms(theta, t):
+        return _field_terms(field, gopts, aopts, scan_xy, scan_valid,
+                            theta, t)
+
+    def cond(st):
+        it, done = st[0], st[3]
+        return (it < aopts.max_iterations) & (~done)
+
+    def body(st):
+        it, th, t, _, _, _, _, lam = st
+        H, b, n_eff, chi2, inl = terms(th, t)
+        ok = n_eff >= aopts.min_effective
+        Hd = H + lam * jnp.diag(jnp.diagonal(H)) \
+            + jnp.eye(3, dtype=H.dtype) * 1e-6
+        dx = jnp.where(ok, jnp.linalg.solve(Hd, b), jnp.zeros(3, H.dtype))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        th2, t2 = th + dx[0], t + dx[1:]
+        _, _, n_eff2, chi2_new, inl2 = terms(th2, t2)
+        # acceptance on the MEAN residual per effective beam: the raw chi2
+        # sums over a pose-GATED beam set, so a better pose that brings
+        # more beams inside the gate can RAISE chi2 and get rejected
+        # (measured: plain-chi2 acceptance trapped LM at 0.64 m on an init
+        # GN recovered from)
+        mean_old = chi2 / jnp.maximum(n_eff, 1).astype(chi2.dtype)
+        mean_new = chi2_new / jnp.maximum(n_eff2, 1).astype(chi2.dtype)
+        accept = ok & jnp.isfinite(mean_new) & (mean_new < mean_old) \
+            & (n_eff2 >= aopts.min_effective)
+        th_n = jnp.where(accept, th2, th)
+        t_n = jnp.where(accept, t2, t)
+        lam_n = jnp.clip(jnp.where(accept, lam * aopts.lm_down,
+                                   lam * aopts.lm_up),
+                         1e-9, aopts.lm_lambda_max)
+        # converged: an accepted tiny step, or damping maxed out (stuck)
+        done = (ok & accept & (jnp.linalg.norm(dx) < aopts.eps)) | (
+            lam_n >= aopts.lm_lambda_max)
+        return (it + 1, th_n, t_n, done, n_eff, chi2, inl, lam_n)
+
+    init = (jnp.int32(0), jnp.float32(theta0), jnp.asarray(t0, jnp.float32),
+            jnp.bool_(False), jnp.int32(0), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(aopts.lm_lambda0))
+    it, th, t, done, n_eff, chi2, inl, lam = jax.lax.while_loop(
+        cond, body, init)
+    # report the metrics AT the final pose (the loop's carried values lag
+    # one iteration)
+    _, _, n_eff, chi2, inl = terms(th, t)
     return Align2dResult(theta=th, t=t, converged=done, num_effective=n_eff,
                          chi2=chi2, inlier_ratio=inl)
 

@@ -331,21 +331,35 @@ def _build_oct_tables(grid: voxel.HashGrid, dense: voxel.DenseIndex,
         dc[:, None, :] + voxel.NEARBY6[None, :, :],
         dk[:, None] != voxel.INVALID_KEY)                    # (7V, 7)
     slot7, found7 = voxel.lookup_dense(dense, opts.dense_dims, stencil)
-    rows7 = packed[slot7]                                    # (7V, 7, 8)
-    valid7 = found7 & (rows7[..., 7] > 0.5)
-    mu7 = rows7[..., 4:7]
-    # octant centers in world coordinates (floor binning: cell = [c, c+1))
+    # Election in TRANSPOSED (8, 7V)/(3, 7V) layout with a running min
+    # over the 7 stencil entries: the direct (7V, 7, 8)/(7V, 8, 7)
+    # formulation pads its minor dims to (8, 128) tiles — an 18x memory
+    # expansion that OOMed the B=64 batched target build (14 GB for a
+    # 784 MB logical temp). Here the large axis stays minor, so every
+    # temp is a clean (8, 7V) tile with zero padding; semantics identical
+    # (first stencil hit wins ties, like argmin).
     offs = (((jnp.arange(8)[:, None] >> jnp.arange(3)[None, :]) & 1)
             .astype(jnp.float32) * 0.5 + 0.25)               # (8, 3)
     leaf = 1.0 / grid.inv_leaf
-    pos = (dc[:, None, :].astype(jnp.float32) + offs[None]) * leaf \
-        + grid.origin                                        # (7V, 8, 3)
-    d2 = jnp.sum((mu7[:, None, :, :] - pos[:, :, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(valid7[:, None, :], d2, jnp.inf)          # (7V, 8, 7)
-    pick = jnp.argmin(d2, axis=2)                            # (7V, 8)
-    picked = jnp.take_along_axis(slot7, pick, axis=1)        # (7V, 8)
-    has = jnp.isfinite(jnp.min(d2, axis=2))                  # (7V, 8)
-    oct_table = jnp.where(has, picked, v).astype(jnp.int32)
+    # pos[c, o, j] = octant-o center coord c of dilated voxel j (world)
+    pos = (dc.T[:, None, :].astype(jnp.float32) + offs.T[:, :, None]) \
+        * leaf + grid.origin[:, None, None]                  # (3, 8, 7V)
+    packed_t = packed.T                                      # (8, V)
+    n7 = dk.shape[0]
+    best_d2 = jnp.full((8, n7), jnp.inf, jnp.float32)
+    best_slot = jnp.zeros((8, n7), jnp.int32)
+    for s in range(7):
+        slot_s = slot7[:, s]                                 # (7V,)
+        row_s = packed_t[:, slot_s]                          # (8, 7V)
+        valid_s = found7[:, s] & (row_s[7] > 0.5)            # (7V,)
+        mu_s = row_s[4:7]                                    # (3, 7V)
+        d2 = jnp.sum((mu_s[:, None, :] - pos) ** 2, axis=0)  # (8, 7V)
+        d2 = jnp.where(valid_s[None, :], d2, jnp.inf)
+        take = d2 < best_d2
+        best_d2 = jnp.where(take, d2, best_d2)
+        best_slot = jnp.where(take, slot_s[None, :], best_slot)
+    has = jnp.isfinite(best_d2)                              # (8, 7V)
+    oct_table = jnp.where(has, best_slot, v).T.astype(jnp.int32)  # (7V, 8)
     packed_ext = jnp.concatenate([packed, jnp.zeros((1, 8), packed.dtype)])
     return dense_oct, oct_table, packed_ext
 
@@ -483,19 +497,28 @@ def _p2plane_vox_terms(target: IcpTarget, opts: IcpOptions, src: PointCloud, R, 
     (`p2plane_pick_fused_terms`, PROFILE.md lever 2) so each iteration's
     XLA side is just the dense lookup + one row gather; `_p2plane_vox_terms_
     unfused_pick` keeps the XLA-side election as the pinned-equal oracle."""
-    q = src.xyz
-    qs = q @ R.T + t
+    rows7 = _p2plane_vox_rows7(target, opts, src, R, t)
+    g = opts.max_plane_distance if gate is None else gate
+    return pallas_kernels.p2plane_pick_fused_terms(
+        src.xyz, rows7, src.mask.astype(src.xyz.dtype), R, t, g,
+        interpret=not pallas_kernels.on_tpu())
+
+
+def _p2plane_vox_rows7(target: IcpTarget, opts: IcpOptions,
+                       src: PointCloud, R, t):
+    """The XLA-side candidate gather of `_p2plane_vox_terms`: 7-key dense
+    lookup + (N, 7, 8) packed-row gather at the current pose (validity
+    folded into column 7). Split out so the per-iteration cost can be
+    attributed separately from the fused election kernel
+    (PROFILE.md batched-matching decomposition)."""
+    qs = src.xyz @ R.T + t
     qcoords = voxel.voxel_coords(qs, target.grid.inv_leaf, target.grid.origin)
     keys7 = voxel.coords_to_key(
         qcoords[:, None, :] + voxel.NEARBY6[None, :, :], src.mask[:, None])
     slot7, found7 = voxel.lookup_dense(target.dense, opts.dense_dims, keys7)
     rows7 = target.packed[slot7]                             # (N, 7, 8)
     valid7 = found7 & (rows7[..., 7] > 0.5)                  # (N, 7)
-    rows7 = rows7.at[..., 7].set(valid7.astype(rows7.dtype))
-    g = opts.max_plane_distance if gate is None else gate
-    return pallas_kernels.p2plane_pick_fused_terms(
-        q, rows7, src.mask.astype(q.dtype), R, t, g,
-        interpret=not pallas_kernels.on_tpu())
+    return rows7.at[..., 7].set(valid7.astype(rows7.dtype))
 
 
 def _p2plane_vox_elect(target: IcpTarget, opts: IcpOptions,

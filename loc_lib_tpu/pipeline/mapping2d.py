@@ -83,6 +83,14 @@ class Mapping2dOptions:
     # grid/field in HBM (~9 MB each; zero-copy archive). Older archives
     # spill to host numpy and re-upload if a loop candidate matches them.
     archived_device_submaps: int = 12
+    # When the GN multires loop registration fails its inlier-ratio
+    # acceptance, retry the pyramid once with the Levenberg-Marquardt
+    # aligner (grid2d.align_lm — the reference's own loop-registration
+    # solver is g2o LM, multi_resolution_likelihood_field.cpp:53-178):
+    # damped accept/reject steps recover wide-off initializations GN
+    # overshoots. Costs one extra executable (warmed alongside the GN one
+    # in Mapping2DDevice) and one extra pyramid run per FAILED candidate.
+    lm_fallback: bool = True
 
 
 # Host-side SE(2) bookkeeping in plain numpy: these are 3-DoF scalar ops,
@@ -203,6 +211,20 @@ class Submap:
         ratio, n_eff = jax.device_get((res.inlier_ratio, res.num_effective))
         ok = (float(ratio) >= self.opts.loop_min_inlier_ratio
               and int(n_eff) >= self.opts.align.min_effective)
+        if not ok and self.opts.lm_fallback:
+            # LM retry from the ORIGINAL init (Mapping2dOptions.lm_fallback)
+            res2 = _match_multires_jit(
+                self.field, self.opts.grid,
+                dataclasses.replace(self.opts.align, method="lm"),
+                self.opts.pyramid_factors, jnp.asarray(scan_xy),
+                jnp.asarray(valid), jnp.float32(theta0_sb),
+                jnp.asarray(t0_sb, jnp.float32))
+            ratio2, n_eff2 = jax.device_get((res2.inlier_ratio,
+                                             res2.num_effective))
+            ok2 = (float(ratio2) >= self.opts.loop_min_inlier_ratio
+                   and int(n_eff2) >= self.opts.align.min_effective)
+            if ok2:
+                return res2, True
         return res, ok
 
 

@@ -258,6 +258,18 @@ class Mapping2DDevice(Mapping2D):
                 jnp.zeros((b, 2), jnp.float32), jnp.zeros((b,), bool),
                 jnp.float32(0.0), jnp.zeros(2, jnp.float32))
             jax.block_until_ready(res.theta)
+            if self.opts.lm_fallback:
+                # the LM retry executable would otherwise compile at the
+                # first FAILED loop candidate (~20 s stall on the relay)
+                import dataclasses as _dc
+
+                res = _match_multires_jit(
+                    self.dstate.field, self.opts.grid,
+                    _dc.replace(self.opts.align, method="lm"),
+                    self.opts.pyramid_factors,
+                    jnp.zeros((b, 2), jnp.float32), jnp.zeros((b,), bool),
+                    jnp.float32(0.0), jnp.zeros(2, jnp.float32))
+                jax.block_until_ready(res.theta)
             # the EXACT solver shape build_graph_np produces for any
             # session up to 32 submaps / 64 edges (its minimum buckets)
             th_p, t_p, e_p, _ = pg2.build_graph_np(
