@@ -760,6 +760,36 @@ def scan_match_batch(targets: IcpTarget, opts: IcpOptions, srcs: PointCloud,
     )(targets, srcs, R0, t0)
 
 
+def scan_match_batch_chunked(targets: IcpTarget, opts: IcpOptions,
+                             srcs: PointCloud, R0, t0,
+                             chunk: int = 8) -> MatchResult:
+    """`scan_match_batch` over sub-batches of `chunk` lanes, dispatched
+    sequentially and re-stacked.
+
+    The direct B-lane program at keyframe-MAP-sized targets (65k points)
+    exceeds the AOT compiler's memory at B>=16 (PROFILE.md §11 item 4) —
+    and even where it compiles, one B-lane executable per distinct B is a
+    compile-cache liability. Chunking pays B/chunk dispatch round trips
+    but compiles exactly ONE sub-batch executable for any B (the last
+    chunk pads with repeated lanes, results dropped), which is the right
+    trade everywhere off the hot path: loop re-registration sweeps over
+    full submaps, offline alignment jobs. B <= chunk falls through to the
+    direct path."""
+    B = R0.shape[0]
+    if B <= chunk:
+        return scan_match_batch(targets, opts, srcs, R0, t0)
+    take = lambda tree, s: jax.tree_util.tree_map(lambda a: a[s], tree)
+    outs = []
+    for s0 in range(0, B, chunk):
+        idx = [(s0 + i) % B for i in range(chunk)]   # pad by wrap, drop later
+        sl = jnp.asarray(idx, jnp.int32)
+        outs.append(scan_match_batch(
+            take(targets, sl), opts, take(srcs, sl), R0[sl], t0[sl]))
+    full = jax.tree_util.tree_map(
+        lambda *a: jnp.concatenate(a, axis=0)[:B], *outs)
+    return full
+
+
 def _scan_match_vox_frozen(target: IcpTarget, opts: IcpOptions,
                            src: PointCloud, R0, t0) -> MatchResult:
     """p2plane_vox GN with election freezing (freeze_election_after > 0):

@@ -259,6 +259,69 @@ def update_incremental(m: NdtMap, pc: PointCloud, opts: NdtOptions) -> NdtMap:
                estimated=est4, age=age4, epoch=epoch, origin=m.origin), opts)
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def rebuild_from_moments(keys, cnt, mean, cov, est, age, epoch, origin,
+                         opts: NdtOptions) -> NdtMap:
+    """Re-assemble a bounded voxel table from an arbitrary multiset of
+    moment rows (keys may repeat; INVALID_KEY rows are dropped).
+
+    The general-K sibling of `update_incremental`'s pairwise merge: sort
+    by key, segment-reduce the count-weighted first/second moments of
+    equal-key runs (any number of collisions merge exactly), evict by age
+    to opts.map_capacity, recompute info/packed/dense. Built for the
+    pose-graph correction write-through of the SHARDED map
+    (parallel/map_shard.apply_correction_sharded): a rigid correction
+    moves voxels across slab boundaries and can map two voxels onto one
+    key, both of which this handles; also the re-partition primitive for
+    slab imbalance (LioSharded docstring)."""
+    v = opts.map_capacity
+    n = keys.shape[0]
+    order = jnp.argsort(keys)
+    k, c, mu, cv, e, a = (x[order] for x in (keys, cnt, mean, cov, est, age))
+    c = jnp.where(k != voxel.INVALID_KEY, c, 0.0)
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), k[1:] != k[:-1]])
+    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1          # (n,) 0-based
+    c_sum = jax.ops.segment_sum(c, seg, num_segments=n)
+    s1 = jax.ops.segment_sum(c[:, None] * mu, seg, num_segments=n)
+    # UNBIASED covariance convention throughout (voxel_stats divides by
+    # n-1, math_utils.h:55-72): raw second moment of a row is
+    # (c-1) cov + c mu mu^T, and the merged unbiased cov divides by
+    # (c_sum - 1). Rebuilding an unsplit row set is then an exact identity.
+    s2 = jax.ops.segment_sum(
+        jnp.maximum(c - 1.0, 0.0)[:, None, None] * cv
+        + c[:, None, None] * mu[:, :, None] * mu[:, None, :],
+        seg, num_segments=n)
+    mean_m = s1 / jnp.maximum(c_sum, 1.0)[:, None]
+    cov_m = (s2 - c_sum[:, None, None]
+             * mean_m[:, :, None] * mean_m[:, None, :]) \
+        / jnp.maximum(c_sum - 1.0, 1.0)[:, None, None]
+    key_m = jax.ops.segment_max(k, seg, num_segments=n)
+    est_m = jax.ops.segment_max(e.astype(jnp.int32), seg, num_segments=n) > 0
+    age_m = jax.ops.segment_max(a, seg, num_segments=n)
+    live = (key_m != voxel.INVALID_KEY) & (c_sum > 0)
+    key_m = jnp.where(live, key_m, voxel.INVALID_KEY)
+
+    # evict by age down to capacity, then final key sort
+    evict_rank = jnp.where(live, -age_m, jnp.iinfo(jnp.int32).max)
+    keep = jnp.argsort(evict_rank)[:v]
+    k3, c3, mu3, cv3, e3, a3 = (x[keep] for x in
+                                (key_m, c_sum, mean_m, cov_m, est_m, age_m))
+    final = jnp.argsort(k3)
+    k4, c4, mu4, cv4, e4, a4 = (x[final] for x in (k3, c3, mu3, cv3, e3, a3))
+    e4 = (k4 != voxel.INVALID_KEY) & (e4 | (c4 > opts.min_pts_in_voxel))
+    single = c4 <= 1.0
+    info_single = jnp.broadcast_to(
+        jnp.eye(3, dtype=jnp.float32) * 1e2, cv4.shape)
+    info4 = jnp.where(single[:, None, None], info_single,
+                      mathx.clamped_inverse_3x3(cv4))
+    info4 = jnp.where(e4[:, None, None], info4, 0.0)
+    return _finalize_map(
+        NdtMap(keys=k4, count=c4, mean=mu4, cov=cv4, info=info4,
+               estimated=e4, age=a4, epoch=jnp.asarray(epoch, jnp.int32),
+               origin=jnp.asarray(origin, jnp.float32)), opts)
+
+
 # ---------------------------------------------------------------------------
 # Alignment
 # ---------------------------------------------------------------------------

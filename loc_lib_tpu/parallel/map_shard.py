@@ -407,3 +407,78 @@ def ndt_scan_match_sharded(mesh: Mesh, sm: ShardedNdtMap,
         out_specs=P(), check_vma=False,
     )(sm.map, src.xyz, src.mask, jnp.asarray(R0, jnp.float32),
       jnp.asarray(t0, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Pose-graph correction write-through (round 5: distributed SLAM composition)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("opts", "mp"))
+def _corrected_rows(maps: ndt.NdtMap, dR, dt, opts: ndt.NdtOptions, mp: int):
+    """Transform every shard's live voxel moments by the rigid correction
+    and flatten to one global row multiset: mean' = dR mu + dt,
+    cov' = dR cov dR^T, key' re-binned from the TRANSFORMED mean (trunc,
+    same global origin). Whole-Gaussian re-binning by the transformed
+    mean is the documented approximation: a rotated voxel's mass is
+    assigned to the cell its centroid lands in (sub-voxel placement error
+    bounded by half a cell; loop corrections are typically well under a
+    voxel). Returns (keys, cnt, mean, cov, est, age) each (mp*V, ...)
+    plus the count-weighted voxel-x of every live row for re-slabbing."""
+    def one(m: ndt.NdtMap):
+        live = m.keys != voxel.INVALID_KEY
+        mu2 = m.mean @ dR.T + dt
+        cov2 = jnp.einsum("ij,vjk,lk->vil", dR, m.cov, dR)
+        keys2 = voxel.coords_to_key(
+            voxel.voxel_coords(mu2, 1.0 / opts.voxel_size, None, "trunc"),
+            live)
+        return keys2, m.count, mu2, cov2, m.estimated, m.age
+    k, c, mu, cv, e, a = jax.vmap(one)(maps)
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    return flat(k), flat(c), flat(mu), flat(cv), flat(e), flat(a)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "mp"))
+def _reslab_and_rebuild(keys, cnt, mean, cov, est, age, epoch,
+                        opts: ndt.NdtOptions, mp: int):
+    """Derive fresh voxel-aligned slab bounds from the corrected rows
+    (count-weighted percentiles of voxel-x — also the re-partition
+    primitive for slab imbalance) and rebuild each shard's bounded table
+    from the rows it now owns (ndt.rebuild_from_moments handles
+    cross-boundary moves and key collisions exactly)."""
+    inv = 1.0 / opts.voxel_size
+    vx = voxel.voxel_coords(mean, inv, None, "trunc")[:, 0]
+    live = keys != voxel.INVALID_KEY
+    vxf = jnp.where(live, vx.astype(jnp.float32), jnp.nan)
+    qs = jnp.linspace(0.0, 100.0, mp + 1)
+    b = jnp.floor(jnp.nanpercentile(vxf, qs)).astype(jnp.int32)
+    lo = b[:-1].at[0].set(-_BIG)
+    hi = b[1:].at[-1].set(_BIG)
+
+    def one(lo_s, hi_s):
+        own = live & (vx >= lo_s) & (vx < hi_s)
+        k_s = jnp.where(own, keys, voxel.INVALID_KEY)
+        return ndt.rebuild_from_moments(
+            k_s, jnp.where(own, cnt, 0.0), mean, cov, est & own, age,
+            epoch, jnp.zeros(3, jnp.float32), opts)
+
+    return jax.vmap(one)(lo, hi), lo, hi
+
+
+def apply_correction_sharded(mesh: Mesh, sm: ShardedNdtMap, dR, dt,
+                             opts: ndt.NdtOptions) -> ShardedNdtMap:
+    """Write a pose-graph rigid correction THROUGH the sharded voxel map
+    (VERDICT r4 next #3): transform every live Gaussian, re-bin, re-slab,
+    rebuild. Voxels that cross slab boundaries migrate to their new owner
+    and collisions merge exactly; the slab partition is re-derived from
+    the corrected map (which also re-balances an exploration-skewed
+    partition — LioSharded's imbalance caveat). One jitted program pair;
+    runs once per accepted pose-graph optimization."""
+    mp = mesh.shape["mp"]
+    rows = _corrected_rows(sm.map, jnp.asarray(dR, jnp.float32),
+                           jnp.asarray(dt, jnp.float32), opts, mp)
+    maps, lo, hi = _reslab_and_rebuild(*rows, jnp.max(sm.map.epoch),
+                                       opts, mp)
+    maps = jax.device_put(
+        maps, jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P("mp")), maps))
+    return ShardedNdtMap(map=maps, lo=lo, hi=hi, overflow=sm.overflow)

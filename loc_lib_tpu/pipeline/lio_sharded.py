@@ -151,6 +151,20 @@ def _live_counts(keys) -> jax.Array:
     return jnp.sum(keys != voxel_ops.INVALID_KEY, axis=1)
 
 
+@jax.jit
+def _corrected_state(s: LioShardedState, dR, dt) -> LioShardedState:
+    """Left-multiply every replicated world pose by the correction; the
+    ESKF nominal rotates with it (same rules as Lio.apply_correction)."""
+    fix = lambda R, t: lie.se3_compose(dR, dt, R, t)
+    R, t = fix(s.R, s.t)
+    last_R, last_t = fix(s.last_R, s.last_t)
+    lk_R, lk_t = fix(s.last_kf_R, s.last_kf_t)
+    e = s.eskf
+    e = e._replace(R=dR @ e.R, p=e.p @ dR.T + dt, v=e.v @ dR.T)
+    return s._replace(R=R, t=t, last_R=last_R, last_t=last_t,
+                      last_kf_R=lk_R, last_kf_t=lk_t, eskf=e)
+
+
 def world_scan(scan: PointCloud, R, t) -> PointCloud:
     w = scan.xyz @ R.T + t
     return PointCloud(xyz=jnp.where(scan.mask[:, None], w, PAD_COORD),
@@ -245,6 +259,27 @@ class LioSharded:
                 self._kf_since_check = 0
                 self._check_imbalance()
         return out
+
+    def apply_correction(self, dR: np.ndarray, dt: np.ndarray) -> None:
+        """Left-multiply the live world pose state by the pose-graph
+        correction (the Lio.apply_correction contract) AND write it
+        through the sharded voxel map: every live Gaussian is
+        transformed, re-binned, re-slabbed and rebuilt
+        (map_shard.apply_correction_sharded) so odometry continues
+        against the CORRECTED map — the distributed analog of the
+        reference's submap write-back (loop_closing.cpp:247-255)."""
+        dRj = jnp.asarray(dR, jnp.float32)
+        dtj = jnp.asarray(dt, jnp.float32)
+        self.state = _corrected_state(self.state, dRj, dtj)
+        if self.sm is not None:
+            self.sm = map_shard.apply_correction_sharded(
+                self.mesh, self.sm, dRj, dtj, _inc_opts(self.opts))
+        # host pose mirrors ride the same correction
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(dR, np.float32)
+        T[:3, 3] = np.asarray(dt, np.float32)
+        self.poses = [T @ p for p in self.poses]
+        self.kf_poses = [T @ p for p in self.kf_poses]
 
     def _check_imbalance(self) -> None:
         """Exploration-trajectory guard (see class docstring): warn when one

@@ -86,8 +86,14 @@ class Slam3dOptions:
     # p2plane_vox: the loop target's plane table is built once per candidate
     # and the fused kernel runs the 30 wide-basin iterations — same
     # production path as odometry, coarser leaf for the wider basin.
+    # Octant-pre-elected correspondences for loop registration (round 5):
+    # the batched candidate matcher is gather-bound on TPU (PROFILE.md),
+    # and oct cuts gathered elements ~6x — measured 2.3x converged batched
+    # throughput at B=64 with max error 0.96 cm (vs 0.93 vox). The oct
+    # target build is ~20 ms/candidate on-chip, amortized over the 20-30
+    # GN iterations it feeds.
     loop_icp: icp.IcpOptions = icp.IcpOptions(
-        method="p2plane_vox", max_iteration=30, max_plane_distance=0.5,
+        method="p2plane_vox_oct", max_iteration=30, max_plane_distance=0.5,
         grid_leaf=2.0, bucket_size=8, plane_min_pts=4)
     sc_capacity: int = 4096           # max keyframes in the descriptor DB
     # Compile the bucketed two-phase PGO executable AHEAD of the first
@@ -128,9 +134,15 @@ class Slam3d:
     ScanContext database, and the pose graph."""
 
     def __init__(self, opts: Slam3dOptions = Slam3dOptions(),
-                 R_il=None, t_il=None):
+                 R_il=None, t_il=None, front_end=None):
+        """`front_end` swaps the odometry engine: anything with the Lio
+        driver contract (init_imu / add_measure / imu_inited /
+        apply_correction) — e.g. `lio_sharded.LioSharded` for the
+        DISTRIBUTED composition (pipeline/slam3d_sharded.py). Default:
+        a single-device Lio."""
         self.opts = opts
-        self.lio = lio_mod.Lio(opts.lio, R_il=R_il, t_il=t_il)
+        self.lio = (front_end if front_end is not None
+                    else lio_mod.Lio(opts.lio, R_il=R_il, t_il=t_il))
         self.scdb = sc.ScanContextDb(capacity=opts.sc_capacity, opts=opts.sc)
         # keyframe archive (host): lidar-frame clouds + world poses
         self.kf_xyz: list[np.ndarray] = []     # (C, 3) each

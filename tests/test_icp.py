@@ -672,3 +672,39 @@ def test_gate_warmup_recovers_init_beyond_the_gate():
     assert err_p > 0.1, err_p          # the documented failure, pinned
     assert err_w < 0.02, err_w         # warm-up recovers it
     assert bool(res_w.converged)
+
+
+def test_scan_match_batch_chunked_matches_direct():
+    """scan_match_batch_chunked (VERDICT r4 next #6): sub-batch dispatches
+    must reproduce the direct batched result lane-for-lane, including a
+    B not divisible by the chunk (wrap-padded, padding dropped)."""
+    world = synthetic.make_world(num_points=60000, extent=40.0, seed=5)
+    B = 6
+    traj = synthetic.make_trajectory(num_frames=B + 1, dt=0.1, speed=2.0)
+    rng = np.random.default_rng(4)
+    tgts, srcs, R0s, t0s = [], [], [], []
+    for b in range(B):
+        tgts.append(synthetic.render_scan(
+            world, traj.R[b], traj.t[b], max_range=35.0, max_points=2048,
+            noise=0.01, seed=2 * b, capacity=2048))
+        srcs.append(synthetic.render_scan(
+            world, traj.R[b + 1], traj.t[b + 1], max_range=35.0,
+            max_points=1024, noise=0.01, seed=2 * b + 1, capacity=1024))
+        R0s.append(traj.R[b].T @ traj.R[b + 1])
+        t0s.append(traj.R[b].T @ (traj.t[b + 1] - traj.t[b])
+                   + rng.normal(0.0, 0.03, 3))
+    stack = lambda xs: jax.tree_util.tree_map(lambda *a: jnp.stack(a), *xs)
+    o = icp.IcpOptions(method="p2plane_vox", grid_leaf=2.0, plane_min_pts=4)
+    bt = icp.set_target_batch(
+        stack([PointCloud(xyz=t.xyz, mask=t.mask) for t in tgts]), o)
+    bs = stack([PointCloud(xyz=s.xyz, mask=s.mask) for s in srcs])
+    bR = jnp.asarray(np.stack(R0s), jnp.float32)
+    bT = jnp.asarray(np.stack(t0s), jnp.float32)
+    direct = icp.scan_match_batch(bt, o, bs, bR, bT)
+    chunked = icp.scan_match_batch_chunked(bt, o, bs, bR, bT, chunk=4)
+    np.testing.assert_allclose(np.asarray(direct.t), np.asarray(chunked.t),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(direct.R), np.asarray(chunked.R),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(direct.iterations),
+                                  np.asarray(chunked.iterations))

@@ -336,3 +336,81 @@ def test_lio_sharded_surfaces_slab_imbalance_on_exploration():
     assert "slab imbalance" in eng.imbalance_warnings[-1]
     live = eng.live_voxels_per_shard().astype(float)
     assert live.max() / live.mean() > eng.imbalance_warn_ratio
+
+
+@pytest.mark.slow
+def test_slam3d_sharded_closes_loops_over_the_sharded_map():
+    """Distributed SLAM composition (VERDICT r4 next #3): Slam3dSharded =
+    ScanContext + batched loop re-registration + SE(3) PGO over the
+    mp-SHARDED mapping front-end, with the accepted correction written
+    THROUGH the sharded voxel table (transform, re-bin, re-slab, exact
+    merge). Must track the single-device Slam3d on a drifted loop log,
+    close loops, and carry a live map that exceeds one shard's table."""
+    import dataclasses
+    from loc_lib_tpu.io import logdir
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import lio as lio_mod, slam3d
+    from loc_lib_tpu.pipeline.slam3d_sharded import Slam3dSharded
+    from loc_lib_tpu.graph import scan_context as sc
+
+    log = logdir.make_demo_log(num_frames=40, capacity=2048, dt=0.2,
+                               speed=1.4, yaw_rate=0.72, world_points=60000,
+                               extent=16.0, max_range=14.0, with_imu=True)
+    nopts = ndt.NdtOptions(method="incremental", voxel_size=1.0,
+                           map_capacity=16384)
+    lopts = lio_mod.LioOptions(matcher="ndt_inc", ndt=nopts,
+                               scan_capacity=2048, with_eskf=True,
+                               kf_distance=0.4)
+    sopts = slam3d.Slam3dOptions(
+        lio=lopts,
+        sc=sc.ScanContextOptions(exclude_recent=8, dist_threshold=0.3),
+        loop=slam3d.LoopOptions(min_keyframe_gap=8, max_candidate_dist=10.0,
+                                min_effective_pts=60, max_chi2_per_pt=0.1,
+                                optimize_every=1),
+        loop_icp=icp.IcpOptions(method="p2plane", max_iteration=20,
+                                max_plane_distance=0.5, grid_leaf=2.0,
+                                bucket_size=8),
+        warm_start=False)
+
+    single = slam3d.Slam3d(sopts)
+    mesh = mesh_mod.make_mesh_2d(2, 4)
+    sopts_shard = dataclasses.replace(
+        sopts, lio=dataclasses.replace(
+            lopts, ndt=dataclasses.replace(nopts, map_capacity=1024)))
+    sharded = Slam3dSharded(mesh, sopts_shard)
+
+    for t, g, a in zip(log.imu.stamps[:150], log.imu.gyro[:150],
+                       log.imu.acce[:150]):
+        single.init_imu(g, a, t)
+        sharded.init_imu(g, a, t)
+
+    for mg in log.measures(imu_capacity=64):
+        scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                          mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+        single.add_measure(scan, mg.imu_gyro, mg.imu_acce,
+                           mg.imu_stamp, mg.imu_valid)
+        sharded.add_measure(scan, mg.imu_gyro, mg.imu_acce,
+                            mg.imu_stamp, mg.imu_valid)
+
+    assert len(sharded.kf_R) == len(single.kf_R)
+    # both engines accepted loops; the sharded one optimized + corrected
+    assert single.loops and sharded.loops
+    # keyframe trajectories stay in lockstep through loop corrections
+    # (tolerance covers the write-through's re-bin approximation: after a
+    # correction the sharded map's Gaussians sit on a re-quantized
+    # lattice, so post-loop odometry diverges by sub-voxel noise)
+    ts = np.stack(single.kf_t)
+    td = np.stack(sharded.kf_t)
+    err = np.linalg.norm(ts - td, axis=1)
+    assert err.max() < 0.15, err
+    # the live sharded map exceeds one shard's table (the reason to shard)
+    live = sharded.live_voxels_per_shard()
+    cap = sopts_shard.lio.ndt.map_capacity
+    assert live.sum() > cap, live
+    assert (live < cap).all(), live
+    # ATE of the sharded engine against ground truth stays SLAM-grade
+    # (ground truth re-expressed in the first frame's pose = SLAM world)
+    gt = log.gt_poses[[k for k in sharded.kf_frame]]
+    gt_rel = np.linalg.inv(log.gt_poses[0])[None] @ gt
+    ate = np.linalg.norm(np.stack(sharded.kf_t) - gt_rel[:, :3, 3], axis=1)
+    assert float(np.sqrt(np.mean(ate ** 2))) < 0.25, ate

@@ -82,3 +82,60 @@ def test_fused_empty_map_is_inert():
     res = ndt.scan_match(m, opts, src, jnp.eye(3), jnp.zeros(3))
     assert np.isfinite(np.asarray(res.t)).all()
     np.testing.assert_array_equal(np.asarray(res.t), 0.0)
+
+
+def test_rebuild_from_moments_merges_collisions_exactly():
+    """ndt.rebuild_from_moments (round 5, the correction write-through
+    primitive): an arbitrary row multiset with repeated keys must merge to
+    the same Gaussians as building the map from the union of the points
+    directly — count-weighted first/second moments are exact under any
+    grouping."""
+    import numpy as np
+    from loc_lib_tpu.ops import voxel, pointcloud
+
+    rng = np.random.default_rng(0)
+    opts = ndt.NdtOptions(method="incremental", voxel_size=1.0,
+                          map_capacity=512)
+    pts = rng.uniform(-4, 4, (600, 3)).astype(np.float32)
+    pc = pointcloud.from_numpy(pts, capacity=1024)
+    ref = ndt.update_incremental(ndt.empty_incremental(opts), pc, opts)
+
+    # split the same points ARBITRARILY into 3 groups, compute per-group
+    # voxel stats, concatenate (keys repeat up to 3x) and rebuild
+    ks, cs, ms, cvs = [], [], [], []
+    for lo, hi in ((0, 150), (150, 400), (400, 600)):
+        st = voxel.voxel_stats(pointcloud.from_numpy(pts[lo:hi],
+                                                     capacity=1024),
+                               opts.voxel_size, jnp.zeros(3),
+                               mode=opts.bin_mode)
+        ks.append(np.asarray(st.keys))
+        cs.append(np.asarray(st.count))
+        ms.append(np.asarray(st.mean))
+        cvs.append(np.asarray(st.cov))
+    keys = jnp.asarray(np.concatenate(ks))
+    cnt = jnp.asarray(np.concatenate(cs))
+    mean = jnp.asarray(np.concatenate(ms))
+    cov = jnp.asarray(np.concatenate(cvs))
+    est = jnp.zeros(keys.shape, bool)
+    age = jnp.ones(keys.shape, jnp.int32)
+    m2 = ndt.rebuild_from_moments(keys, cnt, mean, cov, est, age,
+                                  jnp.int32(1), jnp.zeros(3), opts)
+
+    ka = np.asarray(ref.keys)
+    kb = np.asarray(m2.keys)
+    live_a = ka != voxel.INVALID_KEY
+    live_b = kb != voxel.INVALID_KEY
+    assert set(ka[live_a]) == set(kb[live_b])
+    # align rows by key and compare moments exactly (same fp32 merge tree
+    # up to reassociation: loose-ish tolerance)
+    ia = {int(k): i for i, k in enumerate(ka) if live_a[i]}
+    for j, k in enumerate(kb):
+        if not live_b[j]:
+            continue
+        i = ia[int(k)]
+        np.testing.assert_allclose(np.asarray(ref.count)[i],
+                                   np.asarray(m2.count)[j], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ref.mean)[i],
+                                   np.asarray(m2.mean)[j], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ref.cov)[i],
+                                   np.asarray(m2.cov)[j], atol=1e-4)
