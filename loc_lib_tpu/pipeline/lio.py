@@ -510,8 +510,18 @@ class Lio:
         self._imu_init = ImuStaticInit()
         self.imu_inited = not opts.with_eskf
         # system-level failure detection (SURVEY.md section 5: the reference
-        # has none) — fed from the same batched pull as the pose record
-        self.health = health_mod.TrackingHealth()
+        # has none) — fed from the same batched pull as the pose record.
+        # MATCHER-AWARE residual gate (round-5 soak finding): the NDT
+        # matchers report an info-WEIGHTED chi2 (Mahalanobis^2 per
+        # residual, outlier-gated at 20), not the metric m^2 the ICP paths
+        # report — under the 1.0 m^2 default every healthy NDT frame
+        # flagged "bad" and the monitor sat at LOST for an entire soak run
+        # at 0.07 m ATE. Half the NDT outlier gate is the working
+        # threshold; metric matchers keep the metric default.
+        self.health = health_mod.TrackingHealth(
+            health_mod.HealthOptions(max_chi2_per_point=10.0)
+            if opts.matcher.startswith("ndt")
+            else health_mod.HealthOptions())
 
     # -- IMU ----------------------------------------------------------------
     def init_imu(self, gyro, acce, timestamp) -> bool:

@@ -145,7 +145,6 @@ def step_measure(mesh: Mesh, sm: map_shard.ShardedNdtMap,
 
 
 @jax.jit
-@jax.jit
 def _live_counts(keys) -> jax.Array:
     """(mp,) live voxel count from the sharded (mp, V) key table."""
     return jnp.sum(keys != voxel_ops.INVALID_KEY, axis=1)
@@ -209,7 +208,10 @@ class LioSharded:
         self.kf_poses: list[np.ndarray] = []
         self._imu_init = lio_mod.ImuStaticInit()
         self.imu_inited = not opts.with_eskf
-        self.health = health_mod.TrackingHealth()
+        # matcher-aware residual gate (ndt_inc front-end: weighted chi2;
+        # see Lio.__init__'s note — the round-5 soak finding)
+        self.health = health_mod.TrackingHealth(
+            health_mod.HealthOptions(max_chi2_per_point=10.0))
         self.imbalance_warnings: list[str] = []
         self._kf_since_check = 0
 

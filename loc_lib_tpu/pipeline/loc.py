@@ -213,7 +213,10 @@ class Loc:
         # tracking-health monitor: health.needs_reinit tells the flow to
         # re-seed via set_init_pose (GNSS in the reference) instead of
         # publishing a diverging pose
-        self.health = health_mod.TrackingHealth()
+        self.health = health_mod.TrackingHealth(
+            health_mod.HealthOptions(max_chi2_per_point=10.0)
+            if opts.matcher.startswith("ndt")
+            else health_mod.HealthOptions())
 
     def set_init_pose(self, R, t):
         self.state = set_init_pose(self.state, R, t)

@@ -238,3 +238,23 @@ def test_lio_exploring_odometry_stays_on_manifold():
     R = np.asarray(eng.state.R)
     assert np.abs(R.T @ R - np.eye(3)).max() < 1e-5
     assert max(errs) < 0.1, max(errs)
+
+
+def test_health_monitor_calibrated_for_ndt_residuals():
+    """REGRESSION (round-5 soak finding): the NDT matchers report an
+    info-WEIGHTED chi2 (Mahalanobis^2 per residual, outlier gate 20), so
+    under the metric 1.0 m^2 default every healthy frame flagged bad and
+    the monitor sat at LOST through an entire 0.07 m-ATE soak run. Lio
+    must pick the matcher-aware threshold: a clean ndt_inc run stays
+    'ok' with (near-)zero bad frames."""
+    opts = lio.LioOptions(
+        matcher="ndt_inc",
+        ndt=ndt.NdtOptions(method="incremental", voxel_size=1.0),
+        scan_capacity=2048, with_eskf=False, kf_distance=0.4)
+    eng = lio.Lio(opts)
+    scans = _scans(capacity=2048, n_frames=8)
+    for k in range(8):
+        eng.add_cloud(scans[k])
+    assert eng.health.status == eng.health.OK, (
+        eng.health.status, eng.health.total_bad, eng.health.frames)
+    assert eng.health.total_bad <= 1, eng.health.total_bad
