@@ -21,14 +21,18 @@ from ..pipeline import mapping2d as m2d
 
 def run_mapping2d(xy: np.ndarray, valid: np.ndarray, stamps: np.ndarray,
                   opts: m2d.Mapping2dOptions, out_dir: str,
-                  device_resident: bool = True) -> dict:
+                  device_resident: bool = True,
+                  warm_start: bool = True) -> dict:
     """device_resident=True (production) runs the one-jitted-step-per-scan
     engine (pipeline/mapping2d_device.py); False runs the host-driven
-    reference-shaped twin, kept as its pinned oracle."""
+    reference-shaped twin, kept as its pinned oracle. warm_start=False
+    skips the background loop-executable compiles (tests: concurrent
+    XLA:CPU compiles can crash; the TPU relay path is unaffected)."""
     os.makedirs(out_dir, exist_ok=True)
     if device_resident:
         from ..pipeline.mapping2d_device import Mapping2DDevice
-        engine = Mapping2DDevice(opts, num_beams=xy.shape[1])
+        engine = Mapping2DDevice(opts, num_beams=xy.shape[1],
+                                 warm_start=warm_start)
     else:
         engine = m2d.Mapping2D(opts)
     poses2d = []
