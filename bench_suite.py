@@ -599,6 +599,21 @@ def bench_mapping2d(frames: int) -> dict:
     steady = np.asarray(times[warmup:])
     loops_valid = sum(1 for l in engine.loops if l.valid)
 
+    # LAG-1 PIPELINED host loop (round 5): dispatch scan k, pull/handle
+    # scan k-1 — the per-scan result pull hides behind device compute,
+    # EXACTLY (replay on lifecycle mutation; parity pinned by
+    # tests/test_mapping2d.py). Poses arrive one scan late.
+    eng_l1 = m2dd.Mapping2DDevice(opts, pipelined=True)
+    times_l1 = []
+    for k in range(frames):
+        t0 = time.perf_counter()
+        eng_l1.process_scan(xy[k], valid[k])
+        times_l1.append(time.perf_counter() - t0)
+    eng_l1.flush()
+    steady_l1 = np.asarray(times_l1[warmup:])
+    err_l1 = [np.linalg.norm(np.asarray(t) - gt[k][1])
+              for k, (_, t) in enumerate(eng_l1.frame_poses)]
+
     # pipelined device rate: the same steady-state frames dispatched
     # back-to-back with ONE final sync; two passes, time the second
     # (dispatch warmup on the relay, see bench_lio)
@@ -622,6 +637,10 @@ def bench_mapping2d(frames: int) -> dict:
     return {
         "frames": frames,
         "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
+        "scans_per_sec_steady_lag1": round(1.0 / steady_l1.mean(), 2),
+        "lag1_replays": eng_l1.replays,
+        "lag1_trans_rmse_m": round(
+            float(np.sqrt(np.mean(np.square(err_l1)))), 4),
         "scans_per_sec_pipelined": round(1.0 / pipelined, 2),
         "tunnel_pull_ms_at_start": rtt_at_start,
         "steady_projection_vs_rtt": proj,

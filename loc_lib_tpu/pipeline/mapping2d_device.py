@@ -228,9 +228,15 @@ class Mapping2DDevice(Mapping2D):
     the device state."""
 
     def __init__(self, opts: Mapping2dOptions = Mapping2dOptions(),
-                 num_beams: int = 720, warm_start: bool = True):
+                 num_beams: int = 720, warm_start: bool = True,
+                 pipelined: bool = False):
         super().__init__(opts)
         self.dstate = init_state(opts, num_beams=num_beams)
+        # lag-1 pipelining (see _process_scan_pipelined): poses return one
+        # scan late, call flush() at end; exact via replay-on-mutation
+        self.pipelined = pipelined
+        self._pend = None
+        self.replays = 0       # lifecycle replays performed (observable)
         # Warm the LOOP-CLOSURE executables ahead of the first attempt (the
         # 2D analog of slam3d.warm_solver): the multires pyramid match and
         # the SE(2) PGO compile/cache-load cost ~20 s EACH on a
@@ -282,12 +288,24 @@ class Mapping2DDevice(Mapping2D):
 
     # -- per-scan -----------------------------------------------------------
     def process_scan(self, scan_xy: np.ndarray, valid: np.ndarray):
+        if self.pipelined:
+            return self._process_scan_pipelined(scan_xy, valid)
         self.dstate, out = step_scan(self.dstate, jnp.asarray(scan_xy),
                                      jnp.asarray(valid), self.opts)
         # ONE batched pull per scan (tunnel RTT per transfer, PROFILE.md §3)
+        self._apply_result(scan_xy, valid, out)
+        return self.theta_wb, self.t_wb.copy()
+
+    def _apply_result(self, scan_xy, valid, out: StepOut) -> bool:
+        """Pull one StepOut and run the host-side mirror updates + submap
+        lifecycle + loop detection. Returns True when the DEVICE state was
+        mutated by the lifecycle (submap expansion, or a loop-closure
+        optimize write-back) — the signal the pipelined mode uses to
+        replay an in-flight scan."""
         th, t, is_kf, oob, nfr = jax.device_get(
             (out.theta, out.t, out.is_keyframe, out.oob_frac,
              out.num_frames))
+        state_at_entry = self.dstate
         # host mirrors evolve by the same update rules as the device state
         self.last_theta, self.last_t = self.theta_wb, self.t_wb
         self.theta_wb, self.t_wb = float(th), np.asarray(t, np.float32)
@@ -302,7 +320,63 @@ class Mapping2DDevice(Mapping2D):
                 self._expand_device()
             self._detect_loops(scan_xy, valid)
         self.frame_count += 1
+        return self.dstate is not state_at_entry
+
+    def _process_scan_pipelined(self, scan_xy, valid):
+        """Lag-1 pipelined per-scan flow (PROFILE §15: the sequential loop
+        pays dispatch+sync ~34 ms THEN a ~27 ms result pull per scan; here
+        scan k's device step runs WHILE the host pulls and handles scan
+        k-1's result, hiding the pull entirely). EXACT, not approximate:
+        when handling k-1 mutates the device state (submap expansion /
+        loop write-back — rare), the in-flight scan k was dispatched
+        against a stale state and is REPLAYED from the corrected one, so
+        the state chain is identical to sequential mode
+        (tests/test_mapping2d.py pins trajectory equality).
+
+        Returns the PREVIOUS scan's pose (None on the first call); call
+        `flush()` after the last scan for the final pose."""
+        state_before = self.dstate
+        self.dstate, out = step_scan(self.dstate, jnp.asarray(scan_xy),
+                                     jnp.asarray(valid), self.opts)
+        cur = {"xy": scan_xy, "valid": valid, "out": out,
+               "state_before": state_before}
+        res = None
+        if self._pend is not None:
+            res = self._finish_pending(cur)
+        self._pend = cur
+        return res
+
+    def _finish_pending(self, cur):
+        """Handle the pending scan's result; replay `cur`'s dispatch if the
+        lifecycle mutated the device state. Returns the pending pose."""
+        p = self._pend
+        post_cur_state = self.dstate
+        # host logic must see the state as of AFTER the pending scan —
+        # which is exactly the state `cur` was dispatched from (or the
+        # current state at flush time)
+        self.dstate = cur["state_before"] if cur is not None else self.dstate
+        mutated = self._apply_result(p["xy"], p["valid"], p["out"])
+        if cur is not None:
+            if mutated:
+                # the in-flight dispatch is stale: replay from the
+                # corrected state (rare: expansions + accepted loops)
+                self.replays += 1
+                cur["state_before"] = self.dstate
+                self.dstate, cur["out"] = step_scan(
+                    self.dstate, jnp.asarray(cur["xy"]),
+                    jnp.asarray(cur["valid"]), self.opts)
+            else:
+                self.dstate = post_cur_state
         return self.theta_wb, self.t_wb.copy()
+
+    def flush(self):
+        """Drain the pipelined tail: handle the last in-flight scan.
+        No-op in sequential mode."""
+        if self._pend is None:
+            return self.theta_wb, self.t_wb.copy()
+        res = self._finish_pending(None)
+        self._pend = None
+        return res
 
     # -- submap lifecycle ---------------------------------------------------
     def _expand_device(self) -> None:

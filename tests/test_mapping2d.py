@@ -406,3 +406,39 @@ def test_multires_lm_fallback_runs_and_stays_consistent():
     junk = rng.uniform(-12, 12, xy.shape).astype(np.float32)
     res2, ok2 = sm.match_multires(junk, valid, 0.0, np.zeros(2))
     assert not ok2
+
+
+@pytest.mark.slow
+def test_mapping2d_device_pipelined_is_exact():
+    """Lag-1 pipelined mode (round 5): dispatch scan k, then pull/handle
+    scan k-1 — hides the per-scan result pull behind device compute. Must
+    be EXACT: whenever handling k-1 mutates the device state (expansion /
+    loop write-back), the in-flight scan k is replayed, so the pose
+    trajectory equals sequential mode bit-for-bit; the workload forces
+    both event kinds (replays observable)."""
+    from loc_lib_tpu.pipeline import mapping2d_device as m2dd
+
+    world = synthetic.make_world_2d(extent=10.0, seed=2)
+    frames = 48
+    scans = []
+    for k in range(frames):
+        a = 2.0 * np.pi * k / frames
+        t = np.array([4 * np.cos(a) - 4, 4 * np.sin(a)], np.float32)
+        scans.append(synthetic.render_scan_2d(world, a, t, seed=k))
+
+    opts = mapping2d.Mapping2dOptions(max_keyframes_in_submap=16)
+    seq = m2dd.Mapping2DDevice(opts, warm_start=False)
+    pip = m2dd.Mapping2DDevice(opts, warm_start=False, pipelined=True)
+    for k in range(frames):
+        seq.process_scan(*scans[k])
+        pip.process_scan(*scans[k])
+    pip.flush()
+
+    ps = np.stack([t for _, t in seq.frame_poses])
+    pp = np.stack([t for _, t in pip.frame_poses])
+    assert ps.shape == pp.shape
+    np.testing.assert_array_equal(ps, pp)       # bit-exact chain
+    assert len(pip.submaps) == len(seq.submaps)
+    assert [l.valid for l in pip.loops] == [l.valid for l in seq.loops]
+    # the workload actually exercised the replay path
+    assert pip.replays >= 2, pip.replays
