@@ -500,11 +500,17 @@ class Lio:
     reference's object API (AddCloud/AddMeasure/InitImu/GetAllKeyFramePose,
     lio.hpp:53-147)."""
 
-    def __init__(self, opts: LioOptions = LioOptions(), R_il=None, t_il=None):
+    def __init__(self, opts: LioOptions = LioOptions(), R_il=None, t_il=None,
+                 pipelined: bool = False):
         from ..utils import health as health_mod
 
         self.opts = opts
         self.state = init_state(opts, R_il, t_il)
+        # lag-1 pipelining (see add_measure): exact, poses lag one scan;
+        # keep False when a caller consumes the return value per scan
+        # (slam3d's loop machinery does)
+        self.pipelined = pipelined
+        self._pend_out: Optional[StepResult] = None
         self.poses: list[np.ndarray] = []        # per-frame 4x4 T_w_l
         self.kf_poses: list[np.ndarray] = []
         self._imu_init = ImuStaticInit()
@@ -539,6 +545,11 @@ class Lio:
     # -- data ---------------------------------------------------------------
     def add_cloud(self, scan: PointCloud, edge_scan: Optional[PointCloud] = None):
         self.state, out = step(self.state, scan, self.opts, edge_scan=edge_scan)
+        if self.pipelined:
+            prev, self._pend_out = self._pend_out, out
+            if prev is not None:
+                self._record(prev)
+            return prev
         self._record(out)
         return out
 
@@ -547,7 +558,25 @@ class Lio:
         self.state, out = step_measure(
             self.state, scan, imu_gyro, imu_acce, imu_stamp, imu_valid,
             self.opts, edge_scan=edge_scan)
+        if self.pipelined:
+            # lag-1: the WHOLE per-scan flow is one jitted step and the
+            # host record feeds nothing back, so pulling the PREVIOUS
+            # scan's result while this one computes hides the tunnel RTT
+            # exactly (the 2D engine's pipelined mode needs replay for its
+            # host-side lifecycle; Lio does not). Returns the previous
+            # StepResult (None on the first call); flush() drains the tail.
+            prev, self._pend_out = self._pend_out, out
+            if prev is not None:
+                self._record(prev)
+            return prev
         self._record(out)
+        return out
+
+    def flush(self) -> Optional[StepResult]:
+        """Drain the pipelined tail (no-op in sequential mode)."""
+        out, self._pend_out = self._pend_out, None
+        if out is not None:
+            self._record(out)
         return out
 
     def _record(self, out: StepResult):

@@ -258,3 +258,23 @@ def test_health_monitor_calibrated_for_ndt_residuals():
     assert eng.health.status == eng.health.OK, (
         eng.health.status, eng.health.total_bad, eng.health.frames)
     assert eng.health.total_bad <= 1, eng.health.total_bad
+
+
+def test_lio_pipelined_lag1_matches_sequential():
+    """Lio(pipelined=True) (round 5): lag-1 result pulls must leave the
+    pose chain identical to sequential mode (the whole per-scan flow is
+    one jitted step; the host record feeds nothing back)."""
+    opts = lio.LioOptions(matcher="icp",
+                          icp=icp.IcpOptions(method="p2plane_vox"),
+                          scan_capacity=2048, with_eskf=False,
+                          kf_distance=0.4)
+    seq = lio.Lio(opts)
+    pip = lio.Lio(opts, pipelined=True)
+    scans = _scans(capacity=2048, n_frames=8)
+    for k in range(8):
+        seq.add_cloud(scans[k])
+        out_prev = pip.add_cloud(scans[k])
+        assert (out_prev is None) == (k == 0)
+    pip.flush()
+    np.testing.assert_array_equal(np.stack(seq.poses), np.stack(pip.poses))
+    assert len(seq.kf_poses) == len(pip.kf_poses)
