@@ -405,8 +405,6 @@ def bench_loam(frames: int, capacity: int) -> dict:
         "frames": frames,
         "scan_capacity": capacity,
         "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
-        "scans_per_sec_steady_lag1": round(1.0 / steady_l1.mean(), 2),
-        "lag1_ate_rmse_m": round(float(a_l1.rmse), 4),
         "scans_per_sec_pipelined": round(1.0 / pipelined, 2),
         "ms_per_scan_p50": round(float(np.percentile(steady, 50)) * 1e3, 2),
         "ate_rmse_m": round(a.rmse, 4),
@@ -471,8 +469,6 @@ def bench_loc(frames: int, capacity: int,
     return {
         "frames": frames,
         "scans_per_sec_steady": round(1.0 / steady.mean(), 2),
-        "scans_per_sec_steady_lag1": round(1.0 / steady_l1.mean(), 2),
-        "lag1_ate_rmse_m": round(float(a_l1.rmse), 4),
         "scans_per_sec_pipelined": round(1.0 / pipelined, 2),
         "ms_per_scan_p50": round(float(np.percentile(steady, 50)) * 1e3, 2),
         "ate_rmse_m": round(a.rmse, 4),
