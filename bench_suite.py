@@ -1276,11 +1276,11 @@ print(json.dumps({
     assert out.returncode == 0, out.stderr[-2000:]
     ms = json.loads(out.stdout.strip().splitlines()[-1])
     ncores = os.cpu_count()
-    return {"ms_per_scan_vs_virtual_devices": ms["dp"],
-            "ms_per_scan_vs_map_shards": ms["mp"],
-            "physical_cores": ncores,
-            "note": "virtual CPU mesh on an oversubscribed host: validates "
-                    "program partitioning, not hardware speedup"}
+    return {"WHAT_THIS_IS": ms["WHAT_THIS_IS"],
+            "ms_per_scan_vs_virtual_devices_NOT_scaling":
+                ms["dp_ms_NOT_scaling"],
+            "ms_per_scan_vs_map_shards_NOT_scaling": ms["mp_ms_NOT_scaling"],
+            "physical_cores": ncores}
 
 
 def main():
